@@ -1,0 +1,87 @@
+package graft.codec
+
+import java.util.Arrays
+
+/** Growable byte sink with LEB128 varints. Pure JVM, zero Spark imports
+  * (unit-testable in isolation, mirroring the reference's converter layer
+  * being testable without the task harness).
+  */
+final class ByteWriter(initialCapacity: Int = 64) {
+  private var buf = new Array[Byte](math.max(16, initialCapacity))
+  private var len = 0
+
+  private def ensure(n: Int): Unit = {
+    if (len + n > buf.length) {
+      var cap = buf.length
+      while (cap < len + n) cap = cap << 1
+      buf = Arrays.copyOf(buf, cap)
+    }
+  }
+
+  def size: Int = len
+
+  def writeByte(b: Int): Unit = { ensure(1); buf(len) = b.toByte; len += 1 }
+
+  def writeBytes(bs: Array[Byte]): Unit = writeBytes(bs, 0, bs.length)
+
+  def writeBytes(bs: Array[Byte], off: Int, n: Int): Unit = {
+    ensure(n); System.arraycopy(bs, off, buf, len, n); len += n
+  }
+
+  /** unsigned LEB128 */
+  def writeVarLong(v0: Long): Unit = {
+    var v = v0
+    ensure(10)
+    while ((v & ~0x7fL) != 0L) {
+      buf(len) = ((v & 0x7f) | 0x80).toByte; len += 1
+      v >>>= 7
+    }
+    buf(len) = v.toByte; len += 1
+  }
+
+  def writeVarInt(v: Int): Unit = writeVarLong(v.toLong & 0xffffffffL)
+
+  /** zigzag + LEB128 for signed values */
+  def writeZigZag(v: Long): Unit = writeVarLong((v << 1) ^ (v >> 63))
+
+  def result(): Array[Byte] = Arrays.copyOf(buf, len)
+
+  /** reuse the writer (keeps capacity) */
+  def clear(): Unit = len = 0
+
+  /** append this writer's content to another without an intermediate copy */
+  def writeTo(other: ByteWriter): Unit = other.writeBytes(buf, 0, len)
+}
+
+/** Offset-tracking reader over a byte array. */
+final class ByteReader(val buf: Array[Byte], private var pos: Int = 0) {
+  def position: Int = pos
+  def remaining: Int = buf.length - pos
+  def hasRemaining: Boolean = pos < buf.length
+
+  def readByte(): Int = { val b = buf(pos) & 0xff; pos += 1; b }
+
+  def readBytes(n: Int): Array[Byte] = {
+    val out = Arrays.copyOfRange(buf, pos, pos + n); pos += n; out
+  }
+
+  def skip(n: Int): Unit = pos += n
+
+  def readVarLong(): Long = {
+    var shift = 0
+    var v = 0L
+    var b = 0
+    while ({ b = buf(pos) & 0xff; pos += 1; (b & 0x80) != 0 }) {
+      v |= (b & 0x7fL) << shift
+      shift += 7
+    }
+    v | (b.toLong << shift)
+  }
+
+  def readVarInt(): Int = readVarLong().toInt
+
+  def readZigZag(): Long = {
+    val v = readVarLong()
+    (v >>> 1) ^ -(v & 1L)
+  }
+}

@@ -1,0 +1,216 @@
+package graft.codec
+
+import graft.model.CodecId
+import java.util.Arrays
+
+/** FSST (Fast Static Symbol Table) string compression, implemented from the
+  * published algorithm (Boncz, Neumann, Leis: "FSST: Fast Random Access
+  * String Compression", VLDB 2020; see /root/repo/PAPERS.md corpus note):
+  * a per-block table of at most 255 symbols, each 1–8 bytes, trained by a
+  * fixed number of gain-driven generations over a bounded sample; encoding
+  * is greedy longest-match with code 255 as a one-byte-literal escape.
+  *
+  * Deterministic by construction: the sample is stride-selected, the
+  * generation count is fixed, and candidate selection breaks gain ties by
+  * unsigned-lexicographic symbol order — the same block always trains the
+  * same table (required for resumable re-runs to be byte-stable).
+  *
+  * Replaces the reference's static "dictionary encoding on/off" knob
+  * (reference: parquet/IonToParquet.java:183-192) with a trained shared-
+  * substring table for high-cardinality text like `content`.
+  */
+object Fsst extends Codec {
+  val id: Byte = CodecId.Fsst
+
+  private val EscapeCode = 255
+  private val MaxSymbols = 255
+  private val MaxSymLen = 8
+  private val Generations = 5
+  private val SampleBudget = 1 << 16 // 64 KiB of training text per block
+  private val SampleValueCap = 2048 // bytes taken from any single sample value
+
+  // ---- training ----------------------------------------------------------
+
+  private final class BKey(val bytes: Array[Byte]) {
+    private val h = Arrays.hashCode(bytes)
+    override def hashCode: Int = h
+    override def equals(o: Any): Boolean = o match {
+      case k: BKey => Arrays.equals(bytes, k.bytes)
+      case _ => false
+    }
+  }
+
+  /** symbol lookup: first byte → candidate (symbol, code) pairs, longest first */
+  private final class Table(val symbols: Array[Array[Byte]]) {
+    val lookup: Array[Array[Int]] = {
+      val buckets = Array.fill(256)(List.empty[Int])
+      var c = 0
+      while (c < symbols.length) {
+        val b0 = symbols(c)(0) & 0xff
+        buckets(b0) = c :: buckets(b0)
+        c += 1
+      }
+      buckets.map(_.sortBy(c => -symbols(c).length).toArray)
+    }
+
+    /** longest symbol matching data[pos..end); -1 if none */
+    def findLongest(data: Array[Byte], pos: Int, end: Int): Int = {
+      val cands = lookup(data(pos) & 0xff)
+      var i = 0
+      while (i < cands.length) {
+        val c = cands(i)
+        val s = symbols(c)
+        if (pos + s.length <= end && regionEquals(data, pos, s)) return c
+        i += 1
+      }
+      -1
+    }
+  }
+
+  private def regionEquals(data: Array[Byte], pos: Int, s: Array[Byte]): Boolean = {
+    var i = 0
+    while (i < s.length) {
+      if (data(pos + i) != s(i)) return false
+      i += 1
+    }
+    true
+  }
+
+  /** Deterministic stride sample: up to SampleBudget bytes across the block. */
+  private def sample(values: Array[Array[Byte]]): Array[Array[Byte]] = {
+    if (values.isEmpty) return Array.empty
+    val step = math.max(1, values.length / 64)
+    val out = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+    var budget = SampleBudget
+    var i = 0
+    while (i < values.length && budget > 0) {
+      val v = values(i)
+      if (v.length > 0) {
+        val take = math.min(v.length, math.min(SampleValueCap, budget))
+        out += (if (take == v.length) v else Arrays.copyOf(v, take))
+        budget -= take
+      }
+      i += step
+    }
+    out.toArray
+  }
+
+  private[codec] def train(values: Array[Array[Byte]]): Array[Array[Byte]] = {
+    val samp = sample(values)
+    var table = new Table(Array.empty)
+    var gen = 0
+    while (gen < Generations) {
+      val cnt = new java.util.HashMap[BKey, Array[Long]]() // key → (count, len)
+      def bump(b: Array[Byte]): Unit = {
+        val k = new BKey(b)
+        val cell = cnt.get(k)
+        if (cell == null) cnt.put(k, Array(1L, b.length.toLong)) else cell(0) += 1
+      }
+      var vi = 0
+      while (vi < samp.length) {
+        val s = samp(vi)
+        var pos = 0
+        var prev: Array[Byte] = null
+        while (pos < s.length) {
+          val c = table.findLongest(s, pos, s.length)
+          val sym = if (c >= 0) table.symbols(c) else Array(s(pos))
+          bump(sym)
+          if (prev != null && prev.length + sym.length <= MaxSymLen) {
+            val pair = new Array[Byte](prev.length + sym.length)
+            System.arraycopy(prev, 0, pair, 0, prev.length)
+            System.arraycopy(sym, 0, pair, prev.length, sym.length)
+            bump(pair)
+          }
+          prev = sym
+          pos += sym.length
+        }
+        vi += 1
+      }
+      // pick top-255 by gain = count * len, ties broken lexicographically
+      val entries = new java.util.ArrayList[(Array[Byte], Long)](cnt.size())
+      cnt.forEach((k, cell) => { entries.add((k.bytes, cell(0) * cell(1))); () })
+      entries.sort { (a: (Array[Byte], Long), b: (Array[Byte], Long)) =>
+        if (a._2 != b._2) java.lang.Long.compare(b._2, a._2)
+        else Arrays.compareUnsigned(a._1, b._1)
+      }
+      val n = math.min(MaxSymbols, entries.size())
+      val syms = new Array[Array[Byte]](n)
+      var i = 0
+      while (i < n) { syms(i) = entries.get(i)._1; i += 1 }
+      table = new Table(syms)
+      gen += 1
+    }
+    table.symbols
+  }
+
+  // ---- codec -------------------------------------------------------------
+
+  def encode(values: Array[Array[Byte]]): (Array[Byte], Array[Byte]) = {
+    val symbols = train(values)
+    val table = new Table(symbols)
+
+    val meta = new ByteWriter(1024)
+    meta.writeByte(symbols.length)
+    var c = 0
+    while (c < symbols.length) {
+      meta.writeByte(symbols(c).length)
+      meta.writeBytes(symbols(c))
+      c += 1
+    }
+
+    val payload = new ByteWriter(4096)
+    val scratch = new ByteWriter(256)
+    var i = 0
+    while (i < values.length) {
+      val v = values(i)
+      scratch.clear()
+      var pos = 0
+      while (pos < v.length) {
+        val code = table.findLongest(v, pos, v.length)
+        if (code >= 0) {
+          scratch.writeByte(code)
+          pos += symbols(code).length
+        } else {
+          scratch.writeByte(EscapeCode)
+          scratch.writeByte(v(pos))
+          pos += 1
+        }
+      }
+      payload.writeVarInt(scratch.size)
+      scratch.writeTo(payload)
+      i += 1
+    }
+    (meta.result(), payload.result())
+  }
+
+  def decode(meta: Array[Byte], payload: Array[Byte], count: Int): Array[Array[Byte]] = {
+    val m = new ByteReader(meta)
+    val n = m.readByte()
+    val symbols = new Array[Array[Byte]](n)
+    var c = 0
+    while (c < n) { symbols(c) = m.readBytes(m.readByte()); c += 1 }
+
+    val r = new ByteReader(payload)
+    val out = new Array[Array[Byte]](count)
+    val scratch = new ByteWriter(1024)
+    var i = 0
+    while (i < count) {
+      val nCodes = r.readVarInt()
+      scratch.clear()
+      var j = 0
+      while (j < nCodes) {
+        val code = r.readByte()
+        j += 1
+        if (code == EscapeCode) {
+          scratch.writeByte(r.readByte())
+          j += 1
+        } else {
+          scratch.writeBytes(symbols(code))
+        }
+      }
+      out(i) = scratch.result()
+      i += 1
+    }
+    out
+  }
+}

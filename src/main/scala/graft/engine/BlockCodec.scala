@@ -1,0 +1,115 @@
+package graft.engine
+
+import graft.codec._
+import graft.model.{EncodedBlock, WrapId}
+
+/** Block container (de)serialization + adaptive general-compressor wrap.
+  *
+  * Container layout (pre-wrap):
+  *   [flags:1]                      bit0 = has nulls
+  *   [null bitmap: ceil(n/8)]       present iff bit0 (bit set = null)
+  *   [varint metaLen][meta][payload]
+  *
+  * `EncodedBlock.data` = Wrap(wrapId, container). The wrap is kept only when
+  * it actually shrinks the block (measured, not guessed) — mirroring the
+  * reference layering GZIP over dictionary-encoded Parquet pages
+  * (reference: parquet/IonToParquet.java:186-188) but decided per block.
+  */
+object BlockCodec {
+
+  val WrapAttemptMinBytes = 512
+  val WrapKeepRatio = 0.98
+
+  /** Encode one column block. `values` may contain nulls; `preferred` is the
+    * partition-level selector choice, re-validated on the block (sampled
+    * stats can miss a non-conforming value) with a plain fallback.
+    */
+  def encodeBlock(
+      colName: String,
+      partId: Int,
+      blockIdx: Int,
+      values: Array[Array[Byte]],
+      preferred: Codec,
+      zstdLevel: Int = 3): EncodedBlock = {
+    val n = values.length
+    var nulls = 0
+    var rawBytes = 0L
+    var i = 0
+    while (i < n) {
+      if (values(i) == null) nulls += 1 else rawBytes += values(i).length
+      i += 1
+    }
+
+    val nonNull: Array[Array[Byte]] =
+      if (nulls == 0) values
+      else {
+        val out = new Array[Array[Byte]](n - nulls)
+        var j = 0
+        i = 0
+        while (i < n) { if (values(i) != null) { out(j) = values(i); j += 1 }; i += 1 }
+        out
+      }
+
+    val codec = if (preferred.accepts(nonNull)) preferred else PlainCodec
+    val (meta, payload) = codec.encode(nonNull)
+
+    val w = new ByteWriter(meta.length + payload.length + n / 8 + 16)
+    w.writeByte(if (nulls > 0) 1 else 0)
+    if (nulls > 0) {
+      val bitmap = new Array[Byte]((n + 7) / 8)
+      i = 0
+      while (i < n) {
+        if (values(i) == null) bitmap(i >> 3) = (bitmap(i >> 3) | (1 << (i & 7))).toByte
+        i += 1
+      }
+      w.writeBytes(bitmap)
+    }
+    w.writeVarInt(meta.length)
+    w.writeBytes(meta)
+    w.writeBytes(payload)
+    val container = w.result()
+
+    var wrapId = WrapId.None
+    var data = container
+    if (container.length >= WrapAttemptMinBytes) {
+      val z = Wrap.compress(WrapId.Zstd, container, zstdLevel)
+      if (z.length < container.length * WrapKeepRatio) { wrapId = WrapId.Zstd; data = z }
+    }
+
+    EncodedBlock(colName, partId, blockIdx, codec.id, wrapId, n, rawBytes, data.length.toLong, data)
+  }
+
+  /** Decode back to the original values (nulls reinserted, bit-identical). */
+  def decodeBlock(b: EncodedBlock): Array[Array[Byte]] = {
+    val container = Wrap.decompress(b.wrapId, b.data)
+    val r = new ByteReader(container)
+    val flags = r.readByte()
+    val hasNulls = (flags & 1) != 0
+    val n = b.rowCount
+    val bitmap = if (hasNulls) r.readBytes((n + 7) / 8) else null
+    val meta = r.readBytes(r.readVarInt())
+    val payload = r.readBytes(r.remaining)
+
+    var nonNullCount = n
+    if (hasNulls) {
+      nonNullCount = 0
+      var i = 0
+      while (i < n) {
+        if ((bitmap(i >> 3) & (1 << (i & 7))) == 0) nonNullCount += 1
+        i += 1
+      }
+    }
+    val decoded = Codecs(b.codecId).decode(meta, payload, nonNullCount)
+    if (!hasNulls) decoded
+    else {
+      val out = new Array[Array[Byte]](n)
+      var i = 0
+      var j = 0
+      while (i < n) {
+        if ((bitmap(i >> 3) & (1 << (i & 7))) == 0) { out(i) = decoded(j); j += 1 }
+        i += 1
+      }
+      out
+    }
+  }
+}

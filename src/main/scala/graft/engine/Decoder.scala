@@ -1,0 +1,41 @@
+package graft.engine
+
+import graft.model.EncodedBlock
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, Row}
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+
+/** The decode pass: regroup a block table by (partId, blockIdx), decode each
+  * column block, and zip the columns back into rows — the inverse of
+  * BlockCodec, and the analog of the reference's validated decode path
+  * (reference: avro/AvroToIon.java:88-136). Bit-identity of every value is
+  * the contract (sha256-per-row verified in graft.verify).
+  */
+object Decoder {
+
+  def decode(blocks: Dataset[EncodedBlock], cols: Seq[String]): DataFrame = {
+    val colNames = cols.toArray
+    val schema = StructType(colNames.map(c => StructField(c, StringType, nullable = true)))
+    val keyEnc = Encoders.tuple(Encoders.scalaInt, Encoders.scalaInt)
+    val grouped = blocks.groupByKey(b => (b.partId, b.blockIdx))(keyEnc)
+    grouped.flatMapGroups { (_, it) =>
+      val byCol = scala.collection.mutable.HashMap.empty[String, EncodedBlock]
+      it.foreach(b => byCol(b.colName) = b)
+      val decoded: Array[Array[Array[Byte]]] =
+        colNames.map(c => BlockCodec.decodeBlock(byCol.getOrElse(c,
+          throw new IllegalStateException(
+            s"missing column block '$c' (have ${byCol.keys.mkString(",")})"))))
+      val n = decoded(0).length
+      (0 until n).iterator.map { i =>
+        val vals = new Array[Any](colNames.length)
+        var c = 0
+        while (c < colNames.length) {
+          val b = decoded(c)(i)
+          vals(c) = if (b == null) null
+                    else new String(b, java.nio.charset.StandardCharsets.UTF_8)
+          c += 1
+        }
+        Row.fromSeq(scala.collection.immutable.ArraySeq.unsafeWrapArray(vals))
+      }
+    }(Encoders.row(schema))
+  }
+}

@@ -1,0 +1,181 @@
+package graft.engine
+
+import graft.codec.Codec
+import graft.model.{ColStats, EncodedBlock}
+import graft.plan.CodecSelector
+import graft.stats.BlockStats
+import org.apache.spark.TaskContext
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, Row}
+import org.apache.spark.sql.functions._
+
+/** The encode pass: explicit range partitioning on the sort keys, salted-key
+  * splitting for skewed repos, partition-local sampling-pass → codec plan,
+  * then streaming block encode via mapPartitions (per SURVEY.md §2.6: block
+  * encode over a sorted partition beats any per-row UDF).
+  *
+  * Lifecycle mirrors the reference's two-pass encode archetype
+  * (reference: parquet/IonToParquet.java:155-204 — inference pass, then
+  * conversion pass): pass 1 here is the first block of each partition,
+  * whose exact stats drive the per-partition codec plan; every later block
+  * re-validates applicability before trusting the plan.
+  */
+object Encoder {
+
+  final case class EncodeConfig(
+      numPartitions: Int = 32,
+      blockRows: Int = 65536,
+      /** cut a block early once summed raw column bytes exceed this */
+      blockBytes: Long = 32L << 20,
+      /** a key whose row count exceeds skewFactor × (rows/partitions) gets salted */
+      skewFactor: Double = 2.0,
+      zstdLevel: Int = 3)
+
+  /** Per-repo salting plan: repo → number of salt buckets (only skewed repos). */
+  def skewPlan(df: DataFrame, skewKey: String, cfg: EncodeConfig): Map[String, Int] = {
+    val counts = df.groupBy(col(skewKey)).agg(count(lit(1)).as("cnt"))
+    // one aggregated pass; the grouped result is tiny (ndv(repo) rows)
+    val rows = counts.collect()
+    val total = rows.map(_.getLong(1)).sum
+    val target = math.max(1L, total / math.max(1, cfg.numPartitions))
+    rows.iterator
+      .filter(r => r.getLong(1) > (cfg.skewFactor * target).toLong)
+      .map(r => r.getString(0) -> math.ceil(r.getLong(1).toDouble / target).toInt)
+      .toMap
+  }
+
+  /** Range-partition + sort the input so equal/nearby keys co-locate
+    * (dictionaries and FSST tables train well on locality), splitting any
+    * skewed first-key group across salt buckets.
+    */
+  def partitionInput(
+      df: DataFrame,
+      cols: Seq[String],
+      sortKeys: Seq[String],
+      cfg: EncodeConfig): DataFrame = {
+    val skewKey = sortKeys.head
+    val restKeys = sortKeys.tail
+    val bigRepos = skewPlan(df, skewKey, cfg)
+    val saltCol =
+      if (bigRepos.isEmpty) lit(0)
+      else {
+        val nb = coalesce(element_at(typedLit(bigRepos), col(skewKey)), lit(1))
+        pmod(abs(xxhash64(restKeys.map(col): _*)), nb).cast("int")
+      }
+    val orderCols = col(skewKey) +: col("__salt") +: restKeys.map(col)
+    df.withColumn("__salt", saltCol)
+      .repartitionByRange(cfg.numPartitions, orderCols: _*)
+      .sortWithinPartitions(orderCols: _*)
+      .select(cols.map(col): _*)
+  }
+
+  /** Encode the given string columns of `df` into a Dataset of column blocks. */
+  def encode(
+      df: DataFrame,
+      cols: Seq[String],
+      sortKeys: Seq[String],
+      cfg: EncodeConfig = EncodeConfig()): Dataset[EncodedBlock] = {
+    val partitioned = partitionInput(df, cols, sortKeys, cfg)
+    encodePartitioned(partitioned, cols, cfg)
+  }
+
+  /** Encode an already-partitioned/sorted projection (column order == cols). */
+  def encodePartitioned(
+      partitioned: DataFrame,
+      cols: Seq[String],
+      cfg: EncodeConfig,
+      skipParts: Set[Int] = Set.empty): Dataset[EncodedBlock] = {
+    val colNames = cols.toArray
+    partitioned.mapPartitions { rows =>
+      val partId = TaskContext.getPartitionId()
+      if (skipParts.contains(partId)) Iterator.empty
+      else new PartitionEncoder(rows, colNames, partId, cfg)
+    }(Encoders.product[EncodedBlock])
+  }
+
+  /** Streaming block encoder over one sorted partition. Holds at most one
+    * block of raw values per column in memory (bounded like the reference's
+    * buffered Flux pipelines, avro/AbstractAvroConverter.java:185-208).
+    */
+  private final class PartitionEncoder(
+      rows: Iterator[Row],
+      colNames: Array[String],
+      partId: Int,
+      cfg: EncodeConfig)
+      extends Iterator[EncodedBlock] {
+
+    private val nCols = colNames.length
+    private val pending = scala.collection.mutable.Queue.empty[EncodedBlock]
+    private var blockIdx = 0
+    private var plan: Array[Codec] = null
+
+    override def hasNext: Boolean = pending.nonEmpty || rows.hasNext
+
+    override def next(): EncodedBlock = {
+      if (pending.isEmpty) fill()
+      pending.dequeue()
+    }
+
+    private def fill(): Unit = {
+      val bufs = Array.fill(nCols)(scala.collection.mutable.ArrayBuffer.empty[Array[Byte]])
+      var bytes = 0L
+      var n = 0
+      while (rows.hasNext && n < cfg.blockRows && bytes < cfg.blockBytes) {
+        val r = rows.next()
+        var c = 0
+        while (c < nCols) {
+          val b =
+            if (r.isNullAt(c)) null
+            else r.getString(c).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          bufs(c) += b
+          if (b != null) bytes += b.length
+          c += 1
+        }
+        n += 1
+      }
+      val arrays = bufs.map(_.toArray)
+      if (plan == null) {
+        // sampling pass: exact stats of the partition's first block pick the
+        // per-partition codec plan (≙ InferAvroSchema's bounded scan)
+        plan = Array.tabulate(nCols) { c =>
+          CodecSelector.select(BlockStats.compute(colNames(c), partId, arrays(c)))
+        }
+      }
+      var c = 0
+      while (c < nCols) {
+        pending += BlockCodec.encodeBlock(
+          colNames(c), partId, blockIdx, arrays(c), plan(c), cfg.zstdLevel)
+        c += 1
+      }
+      blockIdx += 1
+    }
+  }
+
+  /** The standalone sampled statistics pass, exposed as a first-class job:
+    * per-(partition, column) ColStats over a bounded per-partition sample.
+    */
+  def statsPass(
+      partitioned: DataFrame,
+      cols: Seq[String],
+      sampleRows: Int = 8192): Dataset[ColStats] = {
+    val colNames = cols.toArray
+    partitioned.mapPartitions { rows =>
+      val partId = TaskContext.getPartitionId()
+      val bufs = Array.fill(colNames.length)(
+        scala.collection.mutable.ArrayBuffer.empty[Array[Byte]])
+      var n = 0
+      while (rows.hasNext && n < sampleRows) {
+        val r = rows.next()
+        var c = 0
+        while (c < colNames.length) {
+          bufs(c) += (if (r.isNullAt(c)) null
+                      else r.getString(c).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          c += 1
+        }
+        n += 1
+      }
+      colNames.indices.iterator.map { c =>
+        BlockStats.compute(colNames(c), partId, bufs(c).toArray)
+      }
+    }(Encoders.product[ColStats])
+  }
+}
