@@ -1,13 +1,104 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.queries._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every query takes (spark, sfDir) and reads the driver-generated parquet
+  * tables. Queries with a DuckDB-expressible oracle appear in `oracleSql`
+  * with IDENTICAL output column names; engine-internal queries (codec
+  * payloads, LSH signatures, heuristics) are rows-only by contract.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship: engine round-trip on sf0.001 — encode documents per-column,
+    * decode, emit per-row sha256 identity projection (driver smoke-checks
+    * rows > 0; full bit-identity is checked by q_roundtrip_sha's oracle).
+    */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    CoreQueries.roundtripSha(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // engine: stats pass / skew plan / selection / metrics / round-trip
+    "q_stats_cols" -> (CoreQueries.statsCols _),
+    "q_skew_plan" -> (CoreQueries.skewPlan _),
+    "q_roundtrip_sha" -> (CoreQueries.roundtripSha _),
+    "q_codec_selection" -> (CoreQueries.codecSelection _),
+    "q_encode_metrics" -> (CoreQueries.encodeMetrics _),
+    // relational coverage: agg / broadcast join / window / time window
+    "q1_agg" -> (CoreQueries.q1Agg _),
+    "q_join_revenue" -> (CoreQueries.joinRevenue _),
+    "q_window_top_orders" -> (CoreQueries.windowTopOrders _),
+    "q_events_hourly" -> (CoreQueries.eventsHourly _),
+    // dedup suite
+    "q_dedup_exact" -> (DedupQueries.dedupExact _),
+    "q_minhash_lsh" -> (DedupQueries.minhashLsh _),
+    "q_simhash" -> (DedupQueries.simhash _),
+    "q_ngram_jaccard" -> (DedupQueries.ngramJaccard _),
+    // text analysis
+    "q_token_stats" -> (TextQueries.tokenStats _),
+    "q_quality_stats" -> (TextQueries.qualityStats _),
+    "q_quality_score" -> (TextQueries.qualityScore _),
+    "q_lang_id" -> (TextQueries.langId _),
+    "q_fingerprint" -> (TextQueries.fingerprint _),
+    // similarity search
+    "q_embed_topk" -> (EmbedQueries.bruteTopK _),
+    "q_embed_lsh_topk" -> (EmbedQueries.lshTopK _),
+    "q_embed_lsh_buckets" -> (EmbedQueries.lshBuckets _)
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q_stats_cols" ->
+      """SELECT col_name, cnt, ndv, min_len, max_len, total_len FROM (
+        |SELECT 'text' AS col_name, count(*) AS cnt, count(DISTINCT text) AS ndv,
+        |  CAST(min(len(text)) AS BIGINT) AS min_len, CAST(max(len(text)) AS BIGINT) AS max_len,
+        |  CAST(sum(len(text)) AS BIGINT) AS total_len FROM documents
+        |UNION ALL
+        |SELECT 'lang', count(*), count(DISTINCT lang), CAST(min(len(lang)) AS BIGINT),
+        |  CAST(max(len(lang)) AS BIGINT), CAST(sum(len(lang)) AS BIGINT) FROM documents
+        |UNION ALL
+        |SELECT 'source', count(*), count(DISTINCT source), CAST(min(len(source)) AS BIGINT),
+        |  CAST(max(len(source)) AS BIGINT), CAST(sum(len(source)) AS BIGINT) FROM documents)""".stripMargin,
+    "q_skew_plan" ->
+      """SELECT source, count(*) AS cnt, CAST(ceil(count(*)/25.0) AS BIGINT) AS n_buckets
+        |FROM documents GROUP BY source""".stripMargin,
+    "q_roundtrip_sha" ->
+      """SELECT CAST(doc_id AS VARCHAR) AS doc_id_s, lang, source, sha256(text) AS h
+        |FROM documents""".stripMargin,
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(round(sum(l_quantity)*100) AS BIGINT) AS sum_qty_c,
+        |  CAST(round(sum(l_extendedprice)*100) AS BIGINT) AS sum_price_c,
+        |  count(*) AS cnt
+        |FROM lineitem GROUP BY 1, 2""".stripMargin,
+    "q_join_revenue" ->
+      """SELECT o_orderpriority,
+        |  CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_orders,
+        |  CAST(round(sum(l_extendedprice*(1-l_discount))*100) AS BIGINT) AS revenue_c
+        |FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+        |GROUP BY 1""".stripMargin,
+    "q_window_top_orders" ->
+      """SELECT o_custkey, o_orderkey, rnk FROM (
+        |  SELECT o_custkey, o_orderkey,
+        |    CAST(row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rnk
+        |  FROM orders) t WHERE rnk <= 2""".stripMargin,
+    "q_events_hourly" ->
+      """SELECT date_trunc('hour', ts) AS hour_start, event_type,
+        |  count(*) AS n, CAST(round(sum(value)*100) AS BIGINT) AS value_c
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "q_dedup_exact" ->
+      """SELECT count(*) AS total_docs, count(DISTINCT text) AS distinct_texts,
+        |  count(*) - count(DISTINCT text) AS dup_rows FROM documents""".stripMargin,
+    "q_token_stats" ->
+      """SELECT lang, count(*) AS docs,
+        |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens
+        |FROM documents GROUP BY lang""".stripMargin,
+    "q_quality_stats" ->
+      """SELECT lang, CAST(sum(len(text)) AS BIGINT) AS chars,
+        |  CAST(sum(len(regexp_replace(text, '[^a-zA-Z]', '', 'g'))) AS BIGINT) AS alpha_chars,
+        |  CAST(sum(len(text) - len(replace(text, ' ', ''))) AS BIGINT) AS space_chars
+        |FROM documents GROUP BY lang""".stripMargin
+  )
 }

@@ -1,0 +1,137 @@
+package graft.queries
+
+import graft.engine.{Decoder, Encoder}
+import graft.model.CodecId
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+object Tables {
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  /** documents as the engine's all-string input shape */
+  def docsAsStrings(spark: SparkSession, sfDir: String): DataFrame =
+    load(spark, sfDir, "documents").select(
+      col("doc_id").cast("string").as("doc_id_s"),
+      col("text"), col("lang"), col("source"))
+
+  val docCols = Seq("doc_id_s", "text", "lang", "source")
+  val docSortKeys = Seq("lang", "source", "doc_id_s")
+
+  def docCfg: Encoder.EncodeConfig =
+    Encoder.EncodeConfig(numPartitions = 8, blockRows = 4096)
+}
+
+/** Engine-centric queries: the stats pass, the skew/salting plan, codec
+  * selection, encode metrics, and the DuckDB-checkable engine round-trip
+  * (encode → decode → sha256 per row must equal the original table).
+  */
+object CoreQueries {
+  import Tables._
+
+  /** stats pass per column, built from Spark aggregates (SQL-parity shape) */
+  def statsCols(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = load(spark, sfDir, "documents")
+    def one(c: String): DataFrame = d.agg(
+      count(lit(1)).as("cnt"),
+      countDistinct(col(c)).as("ndv"),
+      min(length(col(c))).cast("long").as("min_len"),
+      max(length(col(c))).cast("long").as("max_len"),
+      sum(length(col(c))).cast("long").as("total_len"))
+      .select(lit(c).as("col_name"), col("cnt"), col("ndv"), col("min_len"),
+        col("max_len"), col("total_len"))
+    one("text").unionByName(one("lang")).unionByName(one("source"))
+  }
+
+  /** per-source row counts + salt-bucket plan (target 25 rows/bucket) */
+  def skewPlan(spark: SparkSession, sfDir: String): DataFrame =
+    load(spark, sfDir, "documents")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("source"), col("cnt"),
+        ceil(col("cnt") / 25.0).cast("long").as("n_buckets"))
+
+  /** engine round-trip: encode all documents columns, decode, emit per-row
+    * identity projection — the DuckDB oracle runs the same projection on the
+    * original table, so any bit difference fails the hash compare.
+    */
+  def roundtripSha(spark: SparkSession, sfDir: String): DataFrame = {
+    val df = docsAsStrings(spark, sfDir)
+    val blocks = Encoder.encode(df, docCols, docSortKeys, docCfg)
+    Decoder.decode(blocks, docCols)
+      .select(col("doc_id_s"), col("lang"), col("source"),
+        sha2(col("text"), 256).as("h"))
+  }
+
+  /** sampled stats pass + selector decision per (partition, column) */
+  def codecSelection(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val df = docsAsStrings(spark, sfDir)
+    val partitioned = Encoder.partitionInput(df, docCols, docSortKeys, docCfg)
+    Encoder.statsPass(partitioned, docCols)
+      .map { s =>
+        val codec = graft.plan.CodecSelector.select(s)
+        (s.colName, s.partId, CodecId.name(codec.id), s.count, s.ndv,
+          s.maxRun.toLong, s.totalBytes)
+      }
+      .toDF("col_name", "part_id", "codec", "cnt", "ndv", "max_run", "total_bytes")
+      .orderBy("col_name", "part_id")
+  }
+
+  /** full encode of documents; per-column codec + size metrics */
+  def encodeMetrics(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val df = docsAsStrings(spark, sfDir)
+    val blocks = Encoder.encode(df, docCols, docSortKeys, docCfg)
+    blocks
+      .groupBy(col("colName"))
+      .agg(
+        concat_ws(",", sort_array(collect_set(col("codecId")))).as("codecs"),
+        count(lit(1)).as("n_blocks"),
+        sum(col("rowCount")).as("rows"),
+        sum(col("rawBytes")).as("raw_bytes"),
+        sum(col("encodedBytes")).as("encoded_bytes"))
+      .orderBy("colName")
+  }
+
+  // ---- relational coverage (agg / join / window / time-window) ----------
+
+  def q1Agg(spark: SparkSession, sfDir: String): DataFrame =
+    load(spark, sfDir, "lineitem")
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(col("l_quantity")) * 100).cast("long").as("sum_qty_c"),
+        round(sum(col("l_extendedprice")) * 100).cast("long").as("sum_price_c"),
+        count(lit(1)).as("cnt"))
+
+  def joinRevenue(spark: SparkSession, sfDir: String): DataFrame = {
+    val orders = load(spark, sfDir, "orders")
+    val li = load(spark, sfDir, "lineitem")
+    // orders is the small side at every SF here — broadcast it
+    li.join(broadcast(orders), li("l_orderkey") === orders("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        countDistinct(col("o_orderkey")).as("n_orders"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))) * 100)
+          .cast("long").as("revenue_c"))
+  }
+
+  def windowTopOrders(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    load(spark, sfDir, "orders")
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .where(col("rnk") <= 2)
+      .select("o_custkey", "o_orderkey", "rnk")
+  }
+
+  /** tumbling-window aggregation (same plan shape works under readStream) */
+  def eventsHourly(spark: SparkSession, sfDir: String): DataFrame =
+    load(spark, sfDir, "events")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("value")) * 100).cast("long").as("value_c"))
+      .select(col("window.start").as("hour_start"), col("event_type"),
+        col("n"), col("value_c"))
+}

@@ -1,0 +1,146 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deduplication suite over the `documents` table — exact, MinHash+LSH,
+  * SimHash, and exact n-gram Jaccard. All shapes are the 100 TB-scale ones:
+  * narrow maps for per-doc signatures, band-bucket joins (never all-pairs)
+  * for candidates, and mega-bucket capping so a degenerate shingle cannot
+  * explode the pair count.
+  */
+object DedupQueries {
+  import Tables._
+
+  val NumHashes = 32
+  val NumBands = 8 // × 4 rows per band
+  val BucketCap = 200 // drop degenerate LSH buckets larger than this
+
+  /** exact duplication profile (hash-groupBy semantics, 1 summary row) */
+  def dedupExact(spark: SparkSession, sfDir: String): DataFrame =
+    load(spark, sfDir, "documents").agg(
+      count(lit(1)).as("total_docs"),
+      countDistinct(col("text")).as("distinct_texts"),
+      (count(lit(1)) - countDistinct(col("text"))).as("dup_rows"))
+
+  /** distinct word-3-shingles per doc (short docs fall back to whole text) */
+  private def shingles(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"),
+        explode(
+          when(size(col("toks")) >= 3,
+            transform(sequence(lit(0), size(col("toks")) - 3),
+              i => concat_ws(" ", slice(col("toks"), i + 1, lit(3)))))
+            .otherwise(array(concat_ws(" ", col("toks"))))).as("shingle"))
+      .distinct()
+
+  /** per-doc MinHash signature (NumHashes seeded xxhash64 mins) as array */
+  private def minhashSignatures(docs: DataFrame): DataFrame = {
+    val mins = (0 until NumHashes).map(k =>
+      min(xxhash64(lit(k), col("shingle"))).as(s"h$k"))
+    shingles(docs)
+      .groupBy(col("doc_id"))
+      .agg(mins.head, mins.tail: _*)
+      .select(col("doc_id"),
+        array((0 until NumHashes).map(k => col(s"h$k")): _*).as("mh"))
+  }
+
+  /** MinHash + LSH banding: candidate pairs with estimated Jaccard.
+    * Self-join on (band, band-hash) — only same-bucket pairs are formed,
+    * with buckets above BucketCap dropped (skew guard).
+    */
+  def minhashLsh(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = load(spark, sfDir, "documents")
+    val sigs = minhashSignatures(docs).cache()
+    val rowsPerBand = NumHashes / NumBands
+    val bands = sigs.select(col("doc_id"),
+      posexplode(
+        transform(sequence(lit(0), lit(NumBands - 1)),
+          b => xxhash64(b, slice(col("mh"), b * rowsPerBand + 1, lit(rowsPerBand))))))
+      .toDF("doc_id", "band", "band_hash")
+    val okBuckets = bands.groupBy("band", "band_hash").count()
+      .where(col("count") <= BucketCap && col("count") >= 2)
+      .drop("count")
+    val inBuckets = bands.join(okBuckets, Seq("band", "band_hash"))
+    val a = inBuckets.select(col("band"), col("band_hash"), col("doc_id").as("doc_a"))
+    val b = inBuckets.select(col("band"), col("band_hash"), col("doc_id").as("doc_b"))
+    val candidates = a.join(b, Seq("band", "band_hash"))
+      .where(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    val est = candidates
+      .join(sigs.select(col("doc_id").as("doc_a"), col("mh").as("mh_a")), Seq("doc_a"))
+      .join(sigs.select(col("doc_id").as("doc_b"), col("mh").as("mh_b")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        (aggregate(zip_with(col("mh_a"), col("mh_b"),
+          (x, y) => when(x === y, 1).otherwise(0)), lit(0), _ + _)
+          .cast("double") / NumHashes).as("est_jaccard"))
+    est.orderBy(col("est_jaccard").desc, col("doc_a"), col("doc_b")).limit(100)
+  }
+
+  /** 64-bit SimHash per doc over whitespace tokens (narrow map, no shuffle) */
+  def simhash(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    load(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .map { case (id, text) => (id, f"${simhash64(text)}%016x") }
+      .toDF("doc_id", "simhash_hex")
+      .orderBy("doc_id")
+  }
+
+  def simhash64(text: String): Long = {
+    val counts = new Array[Int](64)
+    var start = 0
+    val n = text.length
+    var i = 0
+    while (i <= n) {
+      if (i == n || text.charAt(i) == ' ') {
+        if (i > start) {
+          var h = 1125899906842597L // FNV-ish rolling over the token
+          var j = start
+          while (j < i) { h = 31 * h + text.charAt(j); j += 1 }
+          h = fmix64(h)
+          var b = 0
+          while (b < 64) {
+            if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+            b += 1
+          }
+        }
+        start = i + 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) { if (counts(b) > 0) out |= (1L << b); b += 1 }
+    out
+  }
+
+  private def fmix64(z0: Long): Long = {
+    var z = z0
+    z = (z ^ (z >>> 33)) * 0xff51afd7ed558ccdL
+    z = (z ^ (z >>> 33)) * 0xc4ceb9fe1a85ec53L
+    z ^ (z >>> 33)
+  }
+
+  /** exact n-gram Jaccard for LSH candidates (shingle-join, not all-pairs) */
+  def ngramJaccard(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = load(spark, sfDir, "documents")
+    val sh = shingles(docs).cache()
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val shared = sh.select(col("doc_id").as("doc_a"), col("shingle"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("shingle")), Seq("shingle"))
+      .where(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("shared"))
+    shared
+      .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sz_a")), Seq("doc_a"))
+      .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("sz_b")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        (col("shared").cast("double") /
+          (col("sz_a") + col("sz_b") - col("shared"))).as("jaccard"))
+      .orderBy(col("jaccard").desc, col("doc_a"), col("doc_b"))
+      .limit(50)
+  }
+}

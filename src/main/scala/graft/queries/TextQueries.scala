@@ -1,0 +1,124 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis suite over `documents`: token counting, quality scoring
+  * (integer char-class counts → DuckDB-checkable), n-gram language ID, and
+  * rolling-hash fingerprints. Per-doc ops are narrow (no shuffle).
+  */
+object TextQueries {
+  import Tables._
+
+  /** whitespace token counts per lang (oracle-checkable) */
+  def tokenStats(spark: SparkSession, sfDir: String): DataFrame =
+    load(spark, sfDir, "documents")
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("docs"),
+        sum(size(split(col("text"), " "))).cast("long").as("total_tokens"))
+
+  /** quality signals as integer char-class sums per lang (oracle-checkable) */
+  def qualityStats(spark: SparkSession, sfDir: String): DataFrame =
+    load(spark, sfDir, "documents")
+      .groupBy(col("lang"))
+      .agg(
+        sum(length(col("text"))).cast("long").as("chars"),
+        sum(length(regexp_replace(col("text"), "[^a-zA-Z]", "")))
+          .cast("long").as("alpha_chars"),
+        sum(length(col("text")) - length(regexp_replace(col("text"), " ", "")))
+          .cast("long").as("space_chars"))
+
+  /** per-doc quality score (length / stopword ratio / mean token length) */
+  def qualityScore(spark: SparkSession, sfDir: String): DataFrame = {
+    val stopwords = Seq("the", "a", "of", "and", "to", "in", "is", "on")
+    val toks = split(col("text"), " ")
+    val stopHits = aggregate(
+      transform(toks, t => when(t.isin(stopwords.map(lit): _*), 1).otherwise(0)),
+      lit(0), _ + _)
+    load(spark, sfDir, "documents")
+      .select(
+        col("doc_id"),
+        length(col("text")).as("n_chars"),
+        size(toks).as("n_tokens"),
+        round(stopHits.cast("double") / size(toks), 4).as("stopword_ratio"),
+        round(length(col("text")).cast("double") / size(toks), 4)
+          .as("mean_token_len"))
+      .orderBy("doc_id")
+  }
+
+  /** character-trigram language ID: per-language profiles are learned from
+    * the labeled corpus itself (top trigrams per lang), then every doc is
+    * scored against each profile — confusion matrix out. The profile build
+    * is a broadcast-sized aggregate; scoring is a broadcast join.
+    */
+  def langId(spark: SparkSession, sfDir: String): DataFrame =
+    langIdImpl(load(spark, sfDir, "documents"))
+
+  private def langIdImpl(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    // top-k trigram profile per lang
+    val tri = docs
+      .select(col("lang"), col("doc_id"), col("text"))
+      .as[(String, Long, String)]
+      .flatMap { case (lang, id, text) =>
+        (0 to math.max(0, text.length - 3)).iterator
+          .filter(_ => text.length >= 3)
+          .map(i => (lang, id, text.substring(i, i + 3)))
+      }
+      .toDF("lang", "doc_id", "tri")
+    val profiles = tri.groupBy("lang", "tri").count()
+      .withColumn("rnk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("lang")
+          .orderBy(col("count").desc, col("tri"))))
+      .where(col("rnk") <= 50)
+      .select(col("lang").as("profile_lang"), col("tri"))
+    val scored = tri.select(col("doc_id"), col("lang"), col("tri"))
+      .join(broadcast(profiles), Seq("tri"))
+      .groupBy("doc_id", "lang", "profile_lang").count()
+      .withColumn("rnk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+          .orderBy(col("count").desc, col("profile_lang"))))
+      .where(col("rnk") === 1)
+    scored.groupBy(col("lang"), col("profile_lang").as("guessed"))
+      .agg(count(lit(1)).as("docs"))
+      .orderBy("lang", "guessed")
+  }
+
+  /** rolling-hash (Rabin–Karp, window 16 chars) min-fingerprint per doc */
+  def fingerprint(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    load(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .map { case (id, text) => (id, f"${rollingMinHash(text, 16)}%016x") }
+      .toDF("doc_id", "fingerprint_hex")
+      .orderBy("doc_id")
+  }
+
+  def rollingMinHash(text: String, window: Int): Long = {
+    val n = text.length
+    if (n == 0) return 0L
+    val B = 1000003L
+    if (n < window) {
+      var h = 0L
+      var i = 0
+      while (i < n) { h = h * B + text.charAt(i); i += 1 }
+      return h
+    }
+    // B^(window-1) for the roll-off term
+    var bpow = 1L
+    var k = 0
+    while (k < window - 1) { bpow *= B; k += 1 }
+    var h = 0L
+    var i = 0
+    while (i < window) { h = h * B + text.charAt(i); i += 1 }
+    var minH = h
+    while (i < n) {
+      h = (h - text.charAt(i - window) * bpow) * B + text.charAt(i)
+      if (java.lang.Long.compareUnsigned(h, minH) < 0) minH = h
+      i += 1
+    }
+    minH
+  }
+}
