@@ -26,8 +26,11 @@ object Encoder {
       blockRows: Int = 65536,
       /** cut a block early once summed raw column bytes exceed this */
       blockBytes: Long = 32L << 20,
-      /** a key whose row count exceeds skewFactor × (rows/partitions) gets salted */
-      skewFactor: Double = 2.0,
+      /** a key whose row count exceeds skewFactor × (rows/partitions) gets
+        * salted into ~target/4-row buckets — many small weighted groups
+        * hash-balance far better than few target-sized ones
+        */
+      skewFactor: Double = 0.5,
       zstdLevel: Int = 3)
 
   /** Per-repo salting plan: repo → number of salt buckets (only skewed repos). */
@@ -39,13 +42,21 @@ object Encoder {
     val target = math.max(1L, total / math.max(1, cfg.numPartitions))
     rows.iterator
       .filter(r => r.getLong(1) > (cfg.skewFactor * target).toLong)
-      .map(r => r.getString(0) -> math.ceil(r.getLong(1).toDouble / target).toInt)
+      .map(r => r.getString(0) ->
+        math.ceil(r.getLong(1).toDouble / (target / 4.0)).toInt)
       .toMap
   }
 
-  /** Range-partition + sort the input so equal/nearby keys co-locate
+  /** Partition + sort the input so equal/nearby keys co-locate
     * (dictionaries and FSST tables train well on locality), splitting any
     * skewed first-key group across salt buckets.
+    *
+    * Hash partitioning on (skewKey, salt) — NOT repartitionByRange — because
+    * range boundaries are sampled with an RDD-id-derived seed and therefore
+    * differ between jobs; resumable encode requires the row→partition
+    * mapping to be a pure function of the row. Same-key co-location (what
+    * the codecs need) is preserved; within-partition runs come from
+    * sortWithinPartitions.
     */
   def partitionInput(
       df: DataFrame,
@@ -63,7 +74,7 @@ object Encoder {
       }
     val orderCols = col(skewKey) +: col("__salt") +: restKeys.map(col)
     df.withColumn("__salt", saltCol)
-      .repartitionByRange(cfg.numPartitions, orderCols: _*)
+      .repartition(cfg.numPartitions, col(skewKey), col("__salt"))
       .sortWithinPartitions(orderCols: _*)
       .select(cols.map(col): _*)
   }

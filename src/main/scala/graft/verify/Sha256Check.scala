@@ -1,0 +1,30 @@
+package graft.verify
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The correctness invariant (BASELINE.json `input_hint`): decoded output
+  * must reproduce every value bit-identical. Compared as a multiset of
+  * per-row sha256 tuples — a full-outer join on the hashed projection where
+  * any count difference is a mismatch.
+  */
+object Sha256Check {
+
+  /** number of differing hash-groups between the two frames (0 = identical
+    * multisets of rows across `cols`)
+    */
+  def mismatchGroups(original: DataFrame, decoded: DataFrame, cols: Seq[String]): Long = {
+    // "N"/"V" prefix disambiguates NULL from every real string value
+    def hashed(df: DataFrame) = df
+      .select(cols.map(c => sha2(concat(
+        when(col(c).isNull, lit("N")).otherwise(lit("V")),
+        coalesce(col(c), lit(""))), 256).as(c)): _*)
+      .groupBy(cols.map(col): _*)
+      .count()
+    val a = hashed(original).withColumnRenamed("count", "cnt_a")
+    val b = hashed(decoded).withColumnRenamed("count", "cnt_b")
+    a.join(b, cols, "full_outer")
+      .where(col("cnt_a").isNull || col("cnt_b").isNull || col("cnt_a") =!= col("cnt_b"))
+      .count()
+  }
+}
