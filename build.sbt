@@ -26,5 +26,13 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  // pre-size the heap (growth = page-fault storms at high thread counts)
+  // and prefer throughput GC for the batch encode workload
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  "-XX:+UseParallelGC",
+  "-XX:+AlwaysPreTouch", // fault the heap in once; EPT faults under KVM show as sys/steal
+
+  // shuffle/spill on tmpfs: ext4 syscall + writeback noise at 32 threads
+  "-Dspark.local.dir=/dev/shm/spark-local",
 )

@@ -1,24 +1,154 @@
 package graft
+
+import graft.engine.Encoder
+import graft.gen.DataGen
+import graft.verify.SizeBar
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Benchmark main (driver contract): prints ONE JSON line.
+  *
+  * Headline: encode throughput (GB/s) of the engine over the synthetic
+  * source-code table at multiple parallelism levels on the SAME input with
+  * the SAME partition count — local[k] cores are the sandbox stand-in for
+  * the north rule's N vs 4N executors (BASELINE.md). Levels are interleaved
+  * across repetitions and the per-level MIN is reported, because this host's
+  * effective CPU speed fluctuates ~2x between runs (hypervisor steal).
+  * Also reports compressed size vs the Parquet-snappy and Avro-deflate bars
+  * and per-query wall times for SparkEntry.queries on sfDir.
+  */
 object Bench {
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+
+  private def session(cores: Int): SparkSession = {
+    val s = SparkSession.builder()
+      .master(s"local[$cores]")
+      .appName(s"graft-bench-$cores")
+      .config("spark.sql.shuffle.partitions", math.max(32, cores).toString)
+      // scan parallelism must exceed core count (default 128m bin-packs the
+      // bench input into ~9 tasks, starving local[32])
+      .config("spark.sql.files.maxPartitionBytes", "16m")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  private def time[A](f: => A): (A, Double) = {
+    val t0 = System.nanoTime()
+    val a = f
+    (a, (System.nanoTime() - t0) / 1e9)
+  }
+
+  /** one timed encode pass: returns (rawBytes, encodedBytes, seconds).
+    * Partition count fixed across levels: same job, same work units — only
+    * the core count varies.
+    */
+  private def encodeRun(spark: SparkSession, inputPath: String, nParts: Int): (Long, Long, Double) = {
+    val df = spark.read.parquet(inputPath)
+    val cols = Seq("repo", "path", "commit", "lang", "content")
+    val cfg = Encoder.EncodeConfig(numPartitions = nParts, blockRows = 16384)
+    val (row, sec) = time {
+      Encoder.encode(df, cols, Seq("repo", "path", "commit"), cfg)
+        .agg(sum(col("rawBytes")), sum(col("encodedBytes")))
+        .first()
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    (row.getLong(0), row.getLong(1), sec)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val hi = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val levels = Seq(math.max(1, hi / 16), math.max(1, hi / 4), hi).distinct
+    val sf = "sf([0-9.]+)".r.findFirstMatchIn(sfDir).map(_.group(1).toDouble).getOrElse(0.1)
+    val benchRows = math.max(20000L, (sf * 8000000L).toLong)
+    val nParts = 64
+    val reps = 3
+
+    // ---- materialize the bench input once (shared by all levels) ----
+    val tmp = java.nio.file.Files.createTempDirectory("graft-bench").toString
+    val inputPath = s"$tmp/input.parquet"
+    var spark = session(hi)
+    DataGen.table(spark, DataGen.GenConfig(rows = benchRows, parts = nParts))
+      .write.mode("overwrite").parquet(inputPath)
+
+    // ---- size bars (once, at hi parallelism) ----
+    val input = spark.read.parquet(inputPath)
+    val parquetSnappy = SizeBar.parquetSnappyBytes(input, tmp)
+    val avroDeflate = SizeBar.avroDeflateBytes(input)
+
+    // ---- per-query timings on the driver tables ----
+    val queryTimes = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val (_, sec) = time {
+        try fn(spark, sfDir).count()
+        catch { case _: Throwable => -1L }
+      }
+      name -> sec
+    }
+    // JIT warmup for the encode path
+    val (rawBytes, encBytes, _) = encodeRun(spark, inputPath, nParts)
     spark.stop()
+
+    // ---- interleaved multi-level throughput runs, min per level ----
+    val best = scala.collection.mutable.Map.empty[Int, Double]
+    for (_ <- 1 to reps; level <- levels) {
+      spark = session(level)
+      val (_, _, sec) = encodeRun(spark, inputPath, nParts)
+      spark.stop()
+      best(level) = math.min(best.getOrElse(level, Double.MaxValue), sec)
+    }
+    val th = levels.map(l => l -> rawBytes / best(l) / 1e9).toMap
+    def eff(a: Int, b: Int): Double = th(b) / ((b.toDouble / a) * th(a))
+    val effPairs = levels.sliding(2).collect {
+      case Seq(a, b) => (a, b, eff(a, b))
+    }.toSeq
+
+    val qs = queryTimes.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
+    val thJson = levels.map(l => s""""local[$l]":${th(l)}""").mkString("{", ",", "}")
+    val secJson = levels.map(l => s""""local[$l]":${best(l)}""").mkString("{", ",", "}")
+    val effJson = effPairs.map { case (a, b, e) => s""""${a}->${b}":$e""" }.mkString("{", ",", "}")
+    val headlineEff = effPairs.map(_._3).max
+    val json =
+      s"""{"metric":"encode_throughput_gbps","value":${th(hi)},"unit":"GB/s",""" +
+        s""""queries":$qs,"sf":"$sfDir",""" +
+        s""""bench_rows":$benchRows,"raw_bytes":$rawBytes,"encoded_bytes":$encBytes,""" +
+        s""""compression_ratio":${rawBytes.toDouble / math.max(1, encBytes)},""" +
+        s""""parquet_snappy_bytes":$parquetSnappy,"avro_deflate_bytes":$avroDeflate,""" +
+        s""""beats_parquet_snappy":${encBytes <= parquetSnappy},""" +
+        s""""beats_avro_deflate":${encBytes <= avroDeflate},""" +
+        s""""throughput_gbps":$thJson,"seconds":$secJson,""" +
+        s""""scaling_efficiency_pairs":$effJson,""" +
+        s""""scaling_efficiency":$headlineEff}"""
+    println(json)
+
+    // evidence file for BASELINE.md's two-cluster-size criterion
+    // extra leading '|' = stripMargin margin (runs after interpolation)
+    val effLines = effPairs.map { case (a, b, e) =>
+      f"|| scaling efficiency local[$a]→local[$b] (cores ×${b / a}) | $e%.3f |"
+    }.mkString("\n")
+    val thLines = levels.map(l =>
+      f"|| throughput local[$l] | ${th(l)}%.3f GB/s (${best(l)}%.2f s, min of $reps interleaved) |")
+      .mkString("\n")
+    val md =
+      s"""# BENCH — encode throughput & scaling (generated by graft.Bench)
+         |
+         |Input: $benchRows generated rows, $rawBytes raw bytes, $nParts partitions
+         |(identical job + input at every level; levels interleaved, min taken —
+         |this host's effective CPU fluctuates under hypervisor steal).
+         |
+         || metric | value |
+         ||---|---|
+         || encoded bytes | $encBytes (${f"${rawBytes.toDouble / math.max(1, encBytes)}%.2f"}x) |
+         || parquet-snappy bar | $parquetSnappy (beat: ${encBytes <= parquetSnappy}) |
+         || avro-deflate bar | $avroDeflate (beat: ${encBytes <= avroDeflate}) |
+         |$thLines
+         |$effLines
+         |""".stripMargin
+    java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH.md"), md)
+
+    try {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(tmp)).deleteRecursively()
+    } catch { case _: Throwable => }
   }
 }

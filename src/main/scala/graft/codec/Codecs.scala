@@ -100,15 +100,32 @@ object DictCodec extends Codec {
   private[codec] val unsignedLex: java.util.Comparator[Array[Byte]] =
     (a: Array[Byte], b: Array[Byte]) => java.util.Arrays.compareUnsigned(a, b)
 
+  private final class Key(val bytes: Array[Byte]) {
+    var idx: Int = -1
+    private val h = java.util.Arrays.hashCode(bytes)
+    override def hashCode: Int = h
+    override def equals(o: Any): Boolean = o match {
+      case k: Key => java.util.Arrays.equals(bytes, k.bytes)
+      case _ => false
+    }
+  }
+
   def encode(values: Array[Array[Byte]]): (Array[Byte], Array[Byte]) = {
-    // distinct via a hash map keyed on content
-    val seen = new java.util.TreeMap[Array[Byte], Integer](unsignedLex)
+    // O(1) distinct via hashing, then one sort of the (small) dictionary
+    val seen = new java.util.HashMap[Key, Key]()
+    val keys = new Array[Key](values.length) // per-value interned key
     var i = 0
-    while (i < values.length) { seen.putIfAbsent(values(i), 0); i += 1 }
-    val dict = new Array[Array[Byte]](seen.size)
+    while (i < values.length) {
+      val probe = new Key(values(i))
+      val existing = seen.putIfAbsent(probe, probe)
+      keys(i) = if (existing == null) probe else existing
+      i += 1
+    }
+    val dictKeys = seen.keySet().toArray(new Array[Key](0))
+    java.util.Arrays.sort(dictKeys, (a: Key, b: Key) => unsignedLex.compare(a.bytes, b.bytes))
+    val dict = new Array[Array[Byte]](dictKeys.length)
     var d = 0
-    val it = seen.keySet().iterator()
-    while (it.hasNext) { val k = it.next(); dict(d) = k; seen.put(k, d); d += 1 }
+    while (d < dictKeys.length) { dictKeys(d).idx = d; dict(d) = dictKeys(d).bytes; d += 1 }
 
     val meta = new ByteWriter(1024)
     meta.writeVarInt(dict.length)
@@ -119,7 +136,7 @@ object DictCodec extends Codec {
 
     val idx = new Array[Long](values.length)
     i = 0
-    while (i < values.length) { idx(i) = seen.get(values(i)).longValue(); i += 1 }
+    while (i < values.length) { idx(i) = keys(i).idx.toLong; i += 1 }
     val w = BitPack.width(math.max(0, dict.length - 1).toLong)
     val payload = new ByteWriter(BitPack.packedBytes(values.length, w) + 1)
     payload.writeByte(w)

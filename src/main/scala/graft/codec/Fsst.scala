@@ -40,40 +40,68 @@ object Fsst extends Codec {
     }
   }
 
-  /** symbol lookup: first byte → candidate (symbol, code) pairs, longest first */
+  private val LE_LONG = java.lang.invoke.MethodHandles.byteArrayViewVarHandle(
+    classOf[Array[Long]], java.nio.ByteOrder.LITTLE_ENDIAN)
+
+  /** Symbol lookup tuned for the greedy matcher: per first byte, an
+    * interleaved (mask, prefix, code) triplet array sorted longest-first; a
+    * match test is one masked compare of the 8 cursor bytes (one VarHandle
+    * read per position). 256 buckets keep the structure cache-resident.
+    */
   private final class Table(val symbols: Array[Array[Byte]]) {
-    val lookup: Array[Array[Int]] = {
-      val buckets = Array.fill(256)(List.empty[Int])
+    // per first byte: [mask, prefix, (code<<8 | len)]* sorted len desc
+    private val buckets: Array[Array[Long]] = {
+      val tmp = Array.fill(256)(List.empty[Int])
       var c = 0
       while (c < symbols.length) {
         val b0 = symbols(c)(0) & 0xff
-        buckets(b0) = c :: buckets(b0)
+        tmp(b0) = c :: tmp(b0)
         c += 1
       }
-      buckets.map(_.sortBy(c => -symbols(c).length).toArray)
+      tmp.map { cands =>
+        val sorted = cands.sortBy(c => -symbols(c).length)
+        val arr = new Array[Long](sorted.length * 3)
+        var i = 0
+        sorted.foreach { c =>
+          val s = symbols(c)
+          var packed = 0L
+          var j = 0
+          while (j < s.length) { packed |= (s(j).toLong & 0xffL) << (8 * j); j += 1 }
+          arr(i) = if (s.length == 8) -1L else (1L << (8 * s.length)) - 1L
+          arr(i + 1) = packed
+          arr(i + 2) = (c.toLong << 8) | s.length.toLong
+          i += 3
+        }
+        arr
+      }
     }
 
     /** longest symbol matching data[pos..end); -1 if none */
     def findLongest(data: Array[Byte], pos: Int, end: Int): Int = {
-      val cands = lookup(data(pos) & 0xff)
-      var i = 0
-      while (i < cands.length) {
-        val c = cands(i)
-        val s = symbols(c)
-        if (pos + s.length <= end && regionEquals(data, pos, s)) return c
-        i += 1
+      val list = buckets(data(pos) & 0xff)
+      if (list.length == 0) return -1
+      val avail = end - pos
+      if (avail >= 8) {
+        val w = LE_LONG.get(data, pos).asInstanceOf[Long]
+        var i = 0
+        while (i < list.length) {
+          if ((w & list(i)) == list(i + 1)) return (list(i + 2) >>> 8).toInt
+          i += 3
+        }
+        -1
+      } else {
+        var w = 0L
+        var j = 0
+        while (j < avail) { w |= (data(pos + j).toLong & 0xffL) << (8 * j); j += 1 }
+        var i = 0
+        while (i < list.length) {
+          if ((list(i + 2) & 0xffL) <= avail && (w & list(i)) == list(i + 1))
+            return (list(i + 2) >>> 8).toInt
+          i += 3
+        }
+        -1
       }
-      -1
     }
-  }
-
-  private def regionEquals(data: Array[Byte], pos: Int, s: Array[Byte]): Boolean = {
-    var i = 0
-    while (i < s.length) {
-      if (data(pos + i) != s(i)) return false
-      i += 1
-    }
-    true
   }
 
   /** Deterministic stride sample: up to SampleBudget bytes across the block. */

@@ -2,7 +2,7 @@ package graft.engine
 
 import graft.model.EncodedBlock
 import org.apache.spark.sql.{DataFrame, Dataset, Encoders, Row}
-import org.apache.spark.sql.types.{StringType, StructField, StructType}
+import org.apache.spark.sql.types.{BinaryType, StructField, StructType}
 
 /** The decode pass: regroup a block table by (partId, blockIdx), decode each
   * column block, and zip the columns back into rows — the inverse of
@@ -14,10 +14,10 @@ object Decoder {
 
   def decode(blocks: Dataset[EncodedBlock], cols: Seq[String]): DataFrame = {
     val colNames = cols.toArray
-    val schema = StructType(colNames.map(c => StructField(c, StringType, nullable = true)))
+    val binSchema = StructType(colNames.map(c => StructField(c, BinaryType, nullable = true)))
     val keyEnc = Encoders.tuple(Encoders.scalaInt, Encoders.scalaInt)
     val grouped = blocks.groupByKey(b => (b.partId, b.blockIdx))(keyEnc)
-    grouped.flatMapGroups { (_, it) =>
+    val binary = grouped.flatMapGroups { (_, it) =>
       val byCol = scala.collection.mutable.HashMap.empty[String, EncodedBlock]
       it.foreach(b => byCol(b.colName) = b)
       val decoded: Array[Array[Array[Byte]]] =
@@ -29,13 +29,14 @@ object Decoder {
         val vals = new Array[Any](colNames.length)
         var c = 0
         while (c < colNames.length) {
-          val b = decoded(c)(i)
-          vals(c) = if (b == null) null
-                    else new String(b, java.nio.charset.StandardCharsets.UTF_8)
+          vals(c) = decoded(c)(i)
           c += 1
         }
         Row.fromSeq(scala.collection.immutable.ArraySeq.unsafeWrapArray(vals))
       }
-    }(Encoders.row(schema))
+    }(Encoders.row(binSchema))
+    // binary → string cast restores the exact UTF-8 content (codegen'd)
+    binary.select(colNames.map(c => org.apache.spark.sql.functions.col(c)
+      .cast("string").as(c)): _*)
   }
 }

@@ -33,11 +33,17 @@ object Encoder {
       skewFactor: Double = 0.5,
       zstdLevel: Int = 3)
 
+  /** Fraction of rows the skew-plan pass reads (the sampling pass of the
+    * north rule applied to skew detection; a repo only matters here when it
+    * holds ≥ skewFactor/numPartitions of ALL rows, which a 5% sample
+    * estimates reliably).
+    */
+  val SkewSampleFraction = 0.05
+
   /** Per-repo salting plan: repo → number of salt buckets (only skewed repos). */
   def skewPlan(df: DataFrame, skewKey: String, cfg: EncodeConfig): Map[String, Int] = {
-    val counts = df.groupBy(col(skewKey)).agg(count(lit(1)).as("cnt"))
-    // one aggregated pass; the grouped result is tiny (ndv(repo) rows)
-    val rows = counts.collect()
+    val sampled = df.select(col(skewKey)).sample(SkewSampleFraction, seed = 42L)
+    val rows = sampled.groupBy(col(skewKey)).agg(count(lit(1)).as("cnt")).collect()
     val total = rows.map(_.getLong(1)).sum
     val target = math.max(1L, total / math.max(1, cfg.numPartitions))
     rows.iterator
@@ -76,7 +82,9 @@ object Encoder {
     df.withColumn("__salt", saltCol)
       .repartition(cfg.numPartitions, col(skewKey), col("__salt"))
       .sortWithinPartitions(orderCols: _*)
-      .select(cols.map(col): _*)
+      // binary cast = the exact UTF-8 bytes, skipping String materialization
+      // in the encoder hot loop (cast is codegen'd on the UTF8String)
+      .select(cols.map(c => col(c).cast("binary").as(c)): _*)
   }
 
   /** Encode the given string columns of `df` into a Dataset of column blocks. */
@@ -134,9 +142,7 @@ object Encoder {
         val r = rows.next()
         var c = 0
         while (c < nCols) {
-          val b =
-            if (r.isNullAt(c)) null
-            else r.getString(c).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          val b = if (r.isNullAt(c)) null else r.getAs[Array[Byte]](c)
           bufs(c) += b
           if (b != null) bytes += b.length
           c += 1
@@ -178,8 +184,7 @@ object Encoder {
         val r = rows.next()
         var c = 0
         while (c < colNames.length) {
-          bufs(c) += (if (r.isNullAt(c)) null
-                      else r.getString(c).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          bufs(c) += (if (r.isNullAt(c)) null else r.getAs[Array[Byte]](c))
           c += 1
         }
         n += 1
