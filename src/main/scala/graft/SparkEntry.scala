@@ -45,7 +45,12 @@ object SparkEntry {
     // similarity search
     "q_embed_topk" -> (EmbedQueries.bruteTopK _),
     "q_embed_lsh_topk" -> (EmbedQueries.lshTopK _),
-    "q_embed_lsh_buckets" -> (EmbedQueries.lshBuckets _)
+    "q_embed_lsh_buckets" -> (EmbedQueries.lshBuckets _),
+    // format serde round-trips (reference task surface)
+    "q_csv_roundtrip" -> (FormatQueries.csvRoundtripAgg _),
+    "q_yaml_roundtrip" -> (FormatQueries.yamlRoundtripAgg _),
+    "q_avro_roundtrip" -> (FormatQueries.avroRoundtripAgg _),
+    "q_infer_schema" -> (FormatQueries.inferredSchema _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -99,6 +104,15 @@ object SparkEntry {
       """SELECT lang, CAST(sum(len(text)) AS BIGINT) AS chars,
         |  CAST(sum(len(regexp_replace(text, '[^a-zA-Z]', '', 'g'))) AS BIGINT) AS alpha_chars,
         |  CAST(sum(len(text) - len(replace(text, ' ', ''))) AS BIGINT) AS space_chars
+        |FROM documents GROUP BY lang""".stripMargin,
+    "q_csv_roundtrip" ->
+      """SELECT lang, count(*) AS cnt, CAST(sum(n_chars) AS BIGINT) AS total_chars
+        |FROM documents GROUP BY lang""".stripMargin,
+    "q_yaml_roundtrip" ->
+      """SELECT source, count(*) AS cnt, CAST(sum(n_chars) AS BIGINT) AS total_chars
+        |FROM documents GROUP BY source""".stripMargin,
+    "q_avro_roundtrip" ->
+      """SELECT lang, count(*) AS cnt, CAST(sum(n_chars) AS BIGINT) AS total_chars
         |FROM documents GROUP BY lang""".stripMargin
   )
 }

@@ -1,0 +1,110 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** CSV read/write with the reference's task semantics mapped onto Spark's
+  * native (codegen'd, pushdown-capable) CSV source.
+  *
+  * Reference: csv/CsvToIon.java:78-381 (header resolution incl. empty-header
+  * DROP/RENAME policy :304-351, `\N`→null :240-251, skipRows :217-221,
+  * onBadLines :200-210) and csv/IonToCsv.java:115-327 (quote modes).
+  */
+object Csv {
+
+  /** onBadLines ≙ reference OnBadLines.java:6-19 */
+  sealed trait OnBadLines { def sparkMode: String }
+  case object Error extends OnBadLines { val sparkMode = "FAILFAST" }
+  case object Warn extends OnBadLines { val sparkMode = "PERMISSIVE" }
+  case object Skip extends OnBadLines { val sparkMode = "DROPMALFORMED" }
+
+  /** onEmptyHeader ≙ csv/CsvToIon.java:304-351 */
+  sealed trait OnEmptyHeader
+  case object DropColumn extends OnEmptyHeader
+  case object RenameColumn extends OnEmptyHeader
+
+  final case class CsvReadOptions(
+      header: Boolean = true,
+      fieldSeparator: String = ",",
+      textDelimiter: String = "\"",
+      charset: String = "UTF-8",
+      skipEmptyRows: Boolean = false,
+      skipRows: Int = 0,
+      nullValue: String = "\\N",
+      onBadLines: OnBadLines = Error,
+      onEmptyHeader: OnEmptyHeader = DropColumn,
+      multiLine: Boolean = false)
+
+  def read(spark: SparkSession, path: String, opts: CsvReadOptions = CsvReadOptions()): DataFrame = {
+    val reader = spark.read
+      .option("header", opts.header)
+      .option("sep", opts.fieldSeparator)
+      .option("quote", opts.textDelimiter)
+      .option("encoding", opts.charset)
+      .option("nullValue", opts.nullValue)
+      .option("mode", opts.onBadLines.sparkMode)
+      .option("multiLine", opts.multiLine)
+      .option("ignoreLeadingWhiteSpace", false)
+      .option("ignoreTrailingWhiteSpace", false)
+
+    val df =
+      if (opts.skipRows == 0) reader.csv(path)
+      else {
+        // no native skipRows: drop the first N physical lines, then parse
+        // (reference: csv/CsvToIon.java:217-221)
+        import spark.implicits._
+        val lines = spark.read.text(path)
+          .select(col("value"), monotonically_increasing_id().as("__idx"))
+          .orderBy("__idx")
+          .where(col("__idx") >= opts.skipRows)
+          .select("value").as[String]
+        reader.csv(lines)
+      }
+
+    val cleaned = if (!opts.skipEmptyRows) df else {
+      df.where(df.columns.map(c => col(c).isNotNull).reduce(_ || _))
+    }
+    applyEmptyHeaderPolicy(cleaned, opts.onEmptyHeader)
+  }
+
+  /** empty/duplicate header cells: DROP the column or RENAME to col_N
+    * (reference: csv/CsvToIon.java:304-351; Spark auto-names blank headers
+    * `_cN`, which we treat as the empty-header case)
+    */
+  private def applyEmptyHeaderPolicy(df: DataFrame, policy: OnEmptyHeader): DataFrame = {
+    val empties = df.columns.zipWithIndex.filter { case (c, _) =>
+      c.isEmpty || c.matches("_c\\d+")
+    }
+    if (empties.isEmpty) df
+    else policy match {
+      case DropColumn => df.drop(empties.map(_._1): _*)
+      case RenameColumn =>
+        empties.foldLeft(df) { case (d, (c, i)) => d.withColumnRenamed(c, s"col_${i + 1}") }
+    }
+  }
+
+  /** quote modes ≙ csv/IonToCsv.java:281-326 (ALWAYS / REQUIRED / NON_NUMERIC) */
+  sealed trait QuoteMode
+  case object QuoteAlways extends QuoteMode
+  case object QuoteRequired extends QuoteMode
+
+  final case class CsvWriteOptions(
+      header: Boolean = true,
+      fieldSeparator: String = ",",
+      textDelimiter: String = "\"",
+      charset: String = "UTF-8",
+      quoteMode: QuoteMode = QuoteRequired,
+      nullValue: String = "")
+
+  def write(df: DataFrame, path: String, opts: CsvWriteOptions = CsvWriteOptions()): Unit =
+    df.write
+      .option("header", opts.header)
+      .option("sep", opts.fieldSeparator)
+      .option("quote", opts.textDelimiter)
+      .option("encoding", opts.charset)
+      .option("quoteAll", opts.quoteMode == QuoteAlways)
+      .option("nullValue", opts.nullValue)
+      .option("emptyValue", "\"\"")
+      .mode("overwrite")
+      .csv(path)
+}

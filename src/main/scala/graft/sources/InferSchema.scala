@@ -1,0 +1,77 @@
+package graft.sources
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.types._
+
+/** Schema inference over a bounded row sample with commutative type merging
+  * — the Spark form of the reference's InferAvroSchema
+  * (reference: avro/infer/InferAvroSchema.java:49-71 `take(N).map(inferField)
+  * .reduce(mergeTypes)`; merge rules :201-271; every inferred leaf nullable
+  * :149-176; default sample 100 rows, avro/AbstractAvroConverter.java:42-50).
+  *
+  * Works on all-string frames (CSV-style input). The lattice mirrors the
+  * reference's union-widening: conflicting primitives widen toward string.
+  */
+object InferSchema {
+
+  val DefaultRowsToScan = 100
+
+  /** narrowest type that accepts the value */
+  private[sources] def classify(s: String, opts: Coerce.CoerceOptions): DataType = {
+    if (s == null || opts.nullValues.contains(s)) return NullType
+    val t = s.trim
+    // numeric wins over the boolean literal lists: "1"/"0" infer as ints
+    // (boolean 1/0 is a schema-directed coercion, not an inference guess)
+    if (t.matches("[+-]?\\d+")) {
+      return try {
+        val v = t.toLong
+        if (v >= Int.MinValue && v <= Int.MaxValue) IntegerType else LongType
+      } catch { case _: NumberFormatException => StringType /* > 64-bit */ }
+    }
+    if (t.matches("[+-]?(\\d+\\.\\d*|\\.\\d+)([eE][+-]?\\d+)?") ||
+        t.matches("[+-]?\\d+[eE][+-]?\\d+")) return DoubleType
+    if (opts.trueValues.contains(t.toLowerCase) || opts.falseValues.contains(t.toLowerCase))
+      return BooleanType
+    if (t.matches("\\d{4}-\\d{2}-\\d{2}")) return DateType
+    if (t.matches("\\d{4}-\\d{2}-\\d{2}[T ]\\d{2}:\\d{2}(:\\d{2})?(\\.\\d+)?(Z|[+-]\\d{2}:?\\d{2})?"))
+      return TimestampType
+    StringType
+  }
+
+  /** merge ≙ InferAvroSchema.mergeTypes (:201-271): equal → same; numeric
+    * widening int<long<double; anything else → string (the union analog)
+    */
+  private[sources] def merge(a: DataType, b: DataType): DataType = (a, b) match {
+    case (x, y) if x == y => x
+    case (NullType, x) => x
+    case (x, NullType) => x
+    case (IntegerType, LongType) | (LongType, IntegerType) => LongType
+    case (IntegerType, DoubleType) | (DoubleType, IntegerType) => DoubleType
+    case (LongType, DoubleType) | (DoubleType, LongType) => DoubleType
+    case (DateType, TimestampType) | (TimestampType, DateType) => TimestampType
+    case _ => StringType
+  }
+
+  /** infer a StructType for an all-string frame from the first N rows;
+    * every field nullable (union(null, T) invariant)
+    */
+  def infer(df: DataFrame, rowsToScan: Int = DefaultRowsToScan,
+      opts: Coerce.CoerceOptions = Coerce.CoerceOptions()): StructType = {
+    val cols = df.columns
+    val sample = df.limit(rowsToScan).collect()
+    val merged = cols.zipWithIndex.map { case (c, i) =>
+      val t = sample.iterator
+        .map(r => classify(if (r.isNullAt(i)) null else String.valueOf(r.get(i)), opts))
+        .foldLeft(NullType: DataType)(merge)
+      StructField(c, if (t == NullType) StringType else t, nullable = true)
+    }
+    StructType(merged)
+  }
+
+  /** infer + coerce in one step ≙ the IonToParquet two-pass lifecycle
+    * (parquet/IonToParquet.java:155-204: inference pass, then encode pass)
+    */
+  def inferAndCoerce(df: DataFrame, rowsToScan: Int = DefaultRowsToScan,
+      opts: Coerce.CoerceOptions = Coerce.CoerceOptions()): DataFrame =
+    Coerce.frame(df, infer(df, rowsToScan, opts), opts)
+}
