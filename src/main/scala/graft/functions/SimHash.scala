@@ -1,0 +1,90 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** 64-bit SimHash over whitespace tokens — document fingerprinting for
+  * near-duplicate detection at scale.
+  *
+  * Implemented as a native Catalyst `UnaryExpression` WITH `doGenCode` (not
+  * a Scala UDF): the call inlines into whole-stage codegen, so a simhash
+  * projection over 10^12 rows stays in the generated loop with no
+  * serialization boundary. (Preference order per SURVEY.md §7.4 /
+  * spark_guide: compose built-ins > custom Expression > UDF.)
+  */
+object SimHashImpl {
+  /** token-wise 64-bit simhash; deterministic, allocation-free */
+  def hash(s: UTF8String): Long = hashString(s.toString)
+
+  def hashString(text: String): Long = {
+    val counts = new Array[Int](64)
+    var start = 0
+    val n = text.length
+    var i = 0
+    while (i <= n) {
+      if (i == n || text.charAt(i) == ' ') {
+        if (i > start) {
+          var h = 1125899906842597L
+          var j = start
+          while (j < i) { h = 31 * h + text.charAt(j); j += 1 }
+          h = fmix64(h)
+          var b = 0
+          while (b < 64) {
+            if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+            b += 1
+          }
+        }
+        start = i + 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) { if (counts(b) > 0) out |= (1L << b); b += 1 }
+    out
+  }
+
+  private def fmix64(z0: Long): Long = {
+    var z = z0
+    z = (z ^ (z >>> 33)) * 0xff51afd7ed558ccdL
+    z = (z ^ (z >>> 33)) * 0xc4ceb9fe1a85ec53L
+    z ^ (z >>> 33)
+  }
+}
+
+case class SimHash64(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"simhash64 needs a string column, got ${child.dataType.catalogString}")
+
+  override def nullSafeEval(v: Any): Any =
+    SimHashImpl.hash(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val impl = SimHashImpl.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $impl.hash($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+
+  override def prettyName: String = "simhash64"
+}
+
+object functions {
+  /** Column API for the native expression */
+  def simhash64(c: Column): Column =
+    org.apache.spark.sql.GraftBridge.column(
+      SimHash64(org.apache.spark.sql.GraftBridge.expression(c)))
+
+  /** register `simhash64` for SQL use on the given session */
+  def registerAll(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "simhash64", exprs => SimHash64(exprs.head), "built-in")
+}

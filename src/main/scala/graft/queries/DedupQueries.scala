@@ -78,51 +78,17 @@ object DedupQueries {
     est.orderBy(col("est_jaccard").desc, col("doc_a"), col("doc_b")).limit(100)
   }
 
-  /** 64-bit SimHash per doc over whitespace tokens (narrow map, no shuffle) */
-  def simhash(spark: SparkSession, sfDir: String): DataFrame = {
-    import spark.implicits._
+  /** 64-bit SimHash per doc — runs through the native codegen'd Catalyst
+    * expression (graft.functions.SimHash64), staying inside whole-stage
+    * codegen with no serialization boundary
+    */
+  def simhash(spark: SparkSession, sfDir: String): DataFrame =
     load(spark, sfDir, "documents")
-      .select(col("doc_id"), col("text"))
-      .as[(Long, String)]
-      .map { case (id, text) => (id, f"${simhash64(text)}%016x") }
-      .toDF("doc_id", "simhash_hex")
+      .select(col("doc_id"),
+        lpad(hex(graft.functions.functions.simhash64(col("text"))), 16, "0")
+          .as("simhash_hex"))
+      .withColumn("simhash_hex", lower(col("simhash_hex")))
       .orderBy("doc_id")
-  }
-
-  def simhash64(text: String): Long = {
-    val counts = new Array[Int](64)
-    var start = 0
-    val n = text.length
-    var i = 0
-    while (i <= n) {
-      if (i == n || text.charAt(i) == ' ') {
-        if (i > start) {
-          var h = 1125899906842597L // FNV-ish rolling over the token
-          var j = start
-          while (j < i) { h = 31 * h + text.charAt(j); j += 1 }
-          h = fmix64(h)
-          var b = 0
-          while (b < 64) {
-            if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
-            b += 1
-          }
-        }
-        start = i + 1
-      }
-      i += 1
-    }
-    var out = 0L
-    var b = 0
-    while (b < 64) { if (counts(b) > 0) out |= (1L << b); b += 1 }
-    out
-  }
-
-  private def fmix64(z0: Long): Long = {
-    var z = z0
-    z = (z ^ (z >>> 33)) * 0xff51afd7ed558ccdL
-    z = (z ^ (z >>> 33)) * 0xc4ceb9fe1a85ec53L
-    z ^ (z >>> 33)
-  }
 
   /** exact n-gram Jaccard for LSH candidates (shingle-join, not all-pairs) */
   def ngramJaccard(spark: SparkSession, sfDir: String): DataFrame = {

@@ -1,0 +1,55 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class SimHashSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[2]")
+    .appName("graft-simhash-spec")
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("expression matches the reference implementation and handles nulls") {
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    val texts = Seq("the quick brown fox", "the quick brown fix",
+      "completely different words here", "", "single")
+    val df = (texts.map(Option(_)) :+ None).toDF("t")
+    val got = df.select(graft.functions.functions.simhash64(col("t")).as("h")).collect()
+    texts.zipWithIndex.foreach { case (t, i) =>
+      assert(got(i).getLong(0) == SimHashImpl.hashString(t), s"mismatch for '$t'")
+    }
+    assert(got.last.isNullAt(0)) // null in → null out
+  }
+
+  test("near-duplicate texts have small hamming distance") {
+    val a = SimHashImpl.hashString("spark encode partition buffer stream record value " * 5)
+    val b = SimHashImpl.hashString(("spark encode partition buffer stream record value " * 5) + "extra")
+    val c = SimHashImpl.hashString("totally unrelated sentence about weather and cooking food")
+    def ham(x: Long, y: Long) = java.lang.Long.bitCount(x ^ y)
+    assert(ham(a, b) < ham(a, c))
+    assert(ham(a, b) <= 8)
+  }
+
+  test("participates in whole-stage codegen and SQL registry") {
+    import spark.implicits._
+    // a range scan (not LocalTableScan) so a codegen stage actually forms
+    val wide = spark.range(100)
+      .select(concat_ws(" ", lit("tok"), col("id"), lit("suffix")).as("t"))
+    val plan = wide.select(graft.functions.functions.simhash64(col("t")))
+      .queryExecution.executedPlan.toString
+    // "*(1)" prefixes operators inside a WholeStageCodegen stage
+    assert(plan.contains("*(1) Project [simhash64("), plan)
+
+    val df = Seq("a b c", "d e f").toDF("t")
+    graft.functions.functions.registerAll(spark)
+    df.createOrReplaceTempView("simhash_in")
+    val viaSql = spark.sql("SELECT simhash64(t) AS h FROM simhash_in").collect()
+    assert(viaSql.map(_.getLong(0)).toSeq ==
+      Seq(SimHashImpl.hashString("a b c"), SimHashImpl.hashString("d e f")))
+  }
+}
