@@ -141,8 +141,8 @@ object Bench {
          || encoded bytes | $encBytes (${f"${rawBytes.toDouble / math.max(1, encBytes)}%.2f"}x) |
          || parquet-snappy bar | $parquetSnappy (beat: ${encBytes <= parquetSnappy}) |
          || avro-deflate bar | $avroDeflate (beat: ${encBytes <= avroDeflate}) |
-         |$thLines
-         |$effLines
+         $thLines
+         $effLines
          |""".stripMargin
     java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH.md"), md)
 

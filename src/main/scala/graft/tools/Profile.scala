@@ -46,6 +46,13 @@ object Profile {
           val (m, p) = codec.encode(vals)
           m.length.toLong + p.length
         }
+        // codec + zstd layer: the wrapped-block size this codec would yield
+        val (m, p) = codec.encode(vals)
+        val buf = new ByteWriter(m.length + p.length + 8)
+        buf.writeVarInt(m.length); buf.writeBytes(m); buf.writeBytes(p)
+        val z = com.github.luben.zstd.Zstd.compress(buf.result(), 3)
+        println(f"  ${graft.model.CodecId.name(codec.id)}%-8s+zstd3 -> ${z.length / 1e6}%8.3fMB " +
+          f"(${raw * 1e6 / z.length}%6.2fx)")
       }
       bench(s"$cn/block(full)", raw) {
         BlockCodec.encodeBlock(cn, 0, 0, vals, chosen).encodedBytes
