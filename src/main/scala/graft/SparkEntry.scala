@@ -24,6 +24,7 @@ object SparkEntry {
     "q_stats_cols" -> (CoreQueries.statsCols _),
     "q_skew_plan" -> (CoreQueries.skewPlan _),
     "q_roundtrip_sha" -> (CoreQueries.roundtripSha _),
+    "q_point_lookup" -> (CoreQueries.pointLookup _),
     "q_codec_selection" -> (CoreQueries.codecSelection _),
     "q_encode_metrics" -> (CoreQueries.encodeMetrics _),
     // relational coverage: agg / broadcast join / window / time window
@@ -71,6 +72,9 @@ object SparkEntry {
     "q_roundtrip_sha" ->
       """SELECT CAST(doc_id AS VARCHAR) AS doc_id_s, lang, source, sha256(text) AS h
         |FROM documents""".stripMargin,
+    "q_point_lookup" ->
+      """SELECT CAST(doc_id AS VARCHAR) AS doc_id_s, lang, source, sha256(text) AS h
+        |FROM documents WHERE lang = 'en'""".stripMargin,
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(round(sum(l_quantity)*100) AS BIGINT) AS sum_qty_c,

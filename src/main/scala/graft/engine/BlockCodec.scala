@@ -76,7 +76,73 @@ object BlockCodec {
       if (z.length < container.length * WrapKeepRatio) { wrapId = WrapId.Zstd; data = z }
     }
 
-    EncodedBlock(colName, partId, blockIdx, codec.id, wrapId, n, rawBytes, data.length.toLong, data)
+    // min/max value prefixes for block skipping (unsigned-lex on bytes ==
+    // the UTF-8 code-point order Spark string comparisons use)
+    var minV: Array[Byte] = null
+    var maxV: Array[Byte] = null
+    i = 0
+    while (i < nonNull.length) {
+      val v = nonNull(i)
+      if (minV == null || java.util.Arrays.compareUnsigned(v, minV) < 0) minV = v
+      if (maxV == null || java.util.Arrays.compareUnsigned(v, maxV) > 0) maxV = v
+      i += 1
+    }
+
+    EncodedBlock(colName, partId, blockIdx, codec.id, wrapId, n, rawBytes,
+      data.length.toLong, prefix24(minV), prefix24(maxV), data)
+  }
+
+  /** ≤24-char valid-UTF-8 prefix (truncated at a char boundary) */
+  private def prefix24(b: Array[Byte]): String = {
+    if (b == null) return null
+    val s = new String(b, java.nio.charset.StandardCharsets.UTF_8)
+    if (s.length <= 24) s
+    else {
+      // don't split a surrogate pair
+      val cut = if (Character.isHighSurrogate(s.charAt(23))) 23 else 24
+      s.substring(0, cut)
+    }
+  }
+
+  /** Cheap may-contain test WITHOUT decoding the payload: dict blocks
+    * binary-search the dictionary; FoR blocks range-check against
+    * (min, width) from meta. Other codecs answer true (caller decodes).
+    * This is the block-skipping analog of Parquet dictionary/stats pruning.
+    */
+  def mayContain(b: EncodedBlock, value: Array[Byte]): Boolean = {
+    if (b.codecId != graft.model.CodecId.Dict && b.codecId != graft.model.CodecId.ForLong)
+      return true
+    val container = Wrap.decompress(b.wrapId, b.data)
+    val r = new ByteReader(container)
+    val flags = r.readByte()
+    if ((flags & 1) != 0) r.skip((b.rowCount + 7) / 8)
+    val meta = r.readBytes(r.readVarInt())
+    b.codecId match {
+      case graft.model.CodecId.Dict =>
+        val m = new ByteReader(meta)
+        val n = m.readVarInt()
+        // sorted dictionary → early exit once past the probe
+        var i = 0
+        while (i < n) {
+          val e = m.readBytes(m.readVarInt())
+          val cmp = java.util.Arrays.compareUnsigned(e, value)
+          if (cmp == 0) return true
+          if (cmp > 0) return false
+          i += 1
+        }
+        false
+      case _ => // ForLong
+        graft.codec.ForLongCodec.canonicalLong(value) match {
+          case None => false
+          case Some(v) =>
+            val m = new ByteReader(meta)
+            val min = m.readZigZag()
+            val w = m.readByte()
+            val max = if (w >= 64) Long.MaxValue
+                      else min + (if (w == 0) 0L else (1L << w) - 1L)
+            v >= min && v <= max
+        }
+    }
   }
 
   /** Decode back to the original values (nulls reinserted, bit-identical). */

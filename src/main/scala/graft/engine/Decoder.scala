@@ -39,4 +39,86 @@ object Decoder {
     binary.select(colNames.map(c => org.apache.spark.sql.functions.col(c)
       .cast("string").as(c)): _*)
   }
+
+  /** Late-materialized point lookup over the encoded table:
+    *
+    *   1. block skipping at the SCAN — the minPrefix/maxPrefix predicate is
+    *      an ordinary pushable filter, so Parquet row-group stats prune
+    *      blocks before any bytes are read;
+    *   2. dictionary/FoR metadata check (`BlockCodec.mayContain`) skips
+    *      surviving key blocks without decoding payloads;
+    *   3. only the key column of surviving blocks decodes to find match
+    *      row indices; the other columns decode only for blocks with hits,
+    *      and only matching rows materialize.
+    *
+    * The scale analog of Parquet predicate pushdown, applied to our block
+    * format. Equality semantics, bit-exact.
+    */
+  def decodeWhereEq(
+      blocks: Dataset[EncodedBlock],
+      cols: Seq[String],
+      keyCol: String,
+      value: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val colNames = cols.toArray
+    val keyIdx = colNames.indexOf(keyCol)
+    require(keyIdx >= 0, s"key column $keyCol not in $cols")
+    val valBytes = value.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val prefix = {
+      val s = value
+      if (s.length <= 24) s
+      else s.substring(0, if (Character.isHighSurrogate(s.charAt(23))) 23 else 24)
+    }
+
+    val spark = blocks.sparkSession
+    import spark.implicits._
+
+    // (1) pushable range predicate on the key column's blocks
+    val keyBlocks = blocks
+      .filter(col("colName") === keyCol &&
+        col("minPrefix").isNotNull &&
+        col("minPrefix") <= lit(prefix) && col("maxPrefix") >= lit(prefix))
+
+    // (2) + (3a): metadata check, then decode just the key column
+    val hits = keyBlocks.flatMap { b =>
+      if (!BlockCodec.mayContain(b, valBytes)) Iterator.empty
+      else {
+        val decoded = BlockCodec.decodeBlock(b)
+        val idx = scala.collection.mutable.ArrayBuffer.empty[Int]
+        var i = 0
+        while (i < decoded.length) {
+          if (decoded(i) != null && java.util.Arrays.equals(decoded(i), valBytes)) idx += i
+          i += 1
+        }
+        if (idx.isEmpty) Iterator.empty
+        else Iterator.single((b.partId, b.blockIdx, idx.toArray))
+      }
+    }.toDF("partId", "blockIdx", "rowIdx")
+
+    // (3b): full decode only for blocks with hits, materializing hit rows
+    val binSchema = StructType(colNames.map(c => StructField(c, BinaryType, nullable = true)))
+    val keyEnc = Encoders.tuple(Encoders.scalaInt, Encoders.scalaInt)
+    val joined = blocks.join(broadcast(hits), Seq("partId", "blockIdx"))
+    val binary = joined
+      .groupByKey(r => (r.getAs[Int]("partId"), r.getAs[Int]("blockIdx")))(keyEnc)
+      .flatMapGroups { (_, it) =>
+        val rows = it.toArray
+        val idx = rows.head.getAs[scala.collection.Seq[Int]]("rowIdx").toArray
+        val byCol = rows.map(r => r.getAs[String]("colName") -> r).toMap
+        val decoded = colNames.map { c =>
+          val r = byCol(c)
+          BlockCodec.decodeBlock(EncodedBlock(
+            c, r.getAs[Int]("partId"), r.getAs[Int]("blockIdx"),
+            r.getAs[Byte]("codecId"), r.getAs[Byte]("wrapId"),
+            r.getAs[Int]("rowCount"), r.getAs[Long]("rawBytes"),
+            r.getAs[Long]("encodedBytes"), r.getAs[String]("minPrefix"),
+            r.getAs[String]("maxPrefix"), r.getAs[Array[Byte]]("data")))
+        }
+        idx.iterator.map { i =>
+          Row.fromSeq(scala.collection.immutable.ArraySeq.unsafeWrapArray(
+            decoded.map(d => d(i): Any)))
+        }
+      }(Encoders.row(binSchema))
+    binary.select(colNames.map(c => col(c).cast("string").as(c)): _*)
+  }
 }

@@ -62,6 +62,13 @@ final case class EncodedBlock(
     rowCount: Int,
     rawBytes: Long,
     encodedBytes: Long,
+    /** min/max value prefixes (≤24 chars) for block skipping — parquet
+      * min/max stats on these columns let a filtered decode prune blocks
+      * at the scan, before any decompression; null when the block is
+      * all-null
+      */
+    minPrefix: String,
+    maxPrefix: String,
     data: Array[Byte])
 
 /** Per-(partition, column) lineage + metrics entry, checkpointed after each

@@ -63,6 +63,18 @@ object CoreQueries {
         sha2(col("text"), 256).as("h"))
   }
 
+  /** late-materialized point lookup THROUGH the encoded form: encode
+    * documents, then decodeWhereEq(lang='en') with block skipping — the
+    * oracle filters the original table, so pruning must lose nothing
+    */
+  def pointLookup(spark: SparkSession, sfDir: String): DataFrame = {
+    val df = docsAsStrings(spark, sfDir)
+    val blocks = Encoder.encode(df, docCols, docSortKeys, docCfg)
+    Decoder.decodeWhereEq(blocks, docCols, "lang", "en")
+      .select(col("doc_id_s"), col("lang"), col("source"),
+        sha2(col("text"), 256).as("h"))
+  }
+
   /** sampled stats pass + selector decision per (partition, column) */
   def codecSelection(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._

@@ -1,0 +1,74 @@
+package graft.engine
+
+import graft.gen.DataGen
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class FilteredDecodeSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-filtered-decode-spec")
+    .config("spark.sql.shuffle.partitions", "8")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val cols = Seq("repo", "path", "commit", "lang", "content")
+
+  test("decodeWhereEq returns exactly the filtered rows, bit-identical") {
+    spark.sparkContext.setLogLevel("WARN")
+    val df = DataGen.table(spark,
+      DataGen.GenConfig(rows = 5000, parts = 8)).toDF().cache()
+    val blocks = Encoder.encode(df, cols, Seq("repo", "path", "commit"),
+      Encoder.EncodeConfig(numPartitions = 8, blockRows = 512)).cache()
+
+    for (key <- Seq("lang" -> "scala", "repo" -> "org0/repo0", "lang" -> "no-such-lang")) {
+      val (kc, v) = key
+      val got = Decoder.decodeWhereEq(blocks, cols, kc, v)
+      val expected = df.where(col(kc) === v)
+      assert(got.count() == expected.count(), s"$kc=$v")
+      assert(graft.verify.Sha256Check.mismatchGroups(expected, got, cols) == 0, s"$kc=$v")
+    }
+    blocks.unpersist(); df.unpersist()
+  }
+
+  test("point lookup on a unique path touches few blocks") {
+    val df = DataGen.table(spark,
+      DataGen.GenConfig(rows = 5000, parts = 8)).toDF().cache()
+    val somePath = df.select("path").orderBy("path").first().getString(0)
+    val blocks = Encoder.encode(df, cols, Seq("repo", "path", "commit"),
+      Encoder.EncodeConfig(numPartitions = 8, blockRows = 512)).cache()
+
+    val got = Decoder.decodeWhereEq(blocks, cols, "path", somePath).collect()
+    assert(got.length == 1 && got.head.getAs[String]("path") == somePath)
+
+    // the min/max-prefix predicate must prune most path blocks up front
+    val totalPathBlocks = blocks.filter(col("colName") === "path").count()
+    val survivors = blocks.filter(col("colName") === "path" &&
+      col("minPrefix") <= lit(somePath.take(24)) &&
+      col("maxPrefix") >= lit(somePath.take(24))).count()
+    assert(survivors < totalPathBlocks,
+      s"pruning had no effect: $survivors of $totalPathBlocks")
+    blocks.unpersist(); df.unpersist()
+  }
+
+  test("mayContain prunes dict and FoR blocks without decode") {
+    import graft.codec._
+    def b(s: String) = s.getBytes("UTF-8")
+    val dictBlock = BlockCodec.encodeBlock("c", 0, 0,
+      Array(b("aa"), b("bb"), b("cc"), b("bb")), DictCodec)
+    assert(BlockCodec.mayContain(dictBlock, b("bb")))
+    assert(!BlockCodec.mayContain(dictBlock, b("zz")))
+    assert(!BlockCodec.mayContain(dictBlock, b("ab")))
+
+    val forBlock = BlockCodec.encodeBlock("c", 0, 0,
+      Array(b("100"), b("150"), b("199")), ForLongCodec)
+    assert(BlockCodec.mayContain(forBlock, b("150")))
+    assert(BlockCodec.mayContain(forBlock, b("142"))) // in range: conservative yes
+    assert(!BlockCodec.mayContain(forBlock, b("99")))
+    assert(!BlockCodec.mayContain(forBlock, b("500")))
+    assert(!BlockCodec.mayContain(forBlock, b("abc")))
+  }
+}
