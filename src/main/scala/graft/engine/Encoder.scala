@@ -68,10 +68,11 @@ object Encoder {
       df: DataFrame,
       cols: Seq[String],
       sortKeys: Seq[String],
-      cfg: EncodeConfig): DataFrame = {
+      cfg: EncodeConfig,
+      precomputedSkew: Option[Map[String, Int]] = None): DataFrame = {
     val skewKey = sortKeys.head
     val restKeys = sortKeys.tail
-    val bigRepos = skewPlan(df, skewKey, cfg)
+    val bigRepos = precomputedSkew.getOrElse(skewPlan(df, skewKey, cfg))
     val saltCol =
       if (bigRepos.isEmpty) lit(0)
       else {
@@ -92,8 +93,9 @@ object Encoder {
       df: DataFrame,
       cols: Seq[String],
       sortKeys: Seq[String],
-      cfg: EncodeConfig = EncodeConfig()): Dataset[EncodedBlock] = {
-    val partitioned = partitionInput(df, cols, sortKeys, cfg)
+      cfg: EncodeConfig = EncodeConfig(),
+      precomputedSkew: Option[Map[String, Int]] = None): Dataset[EncodedBlock] = {
+    val partitioned = partitionInput(df, cols, sortKeys, cfg, precomputedSkew)
     encodePartitioned(partitioned, cols, cfg)
   }
 

@@ -72,4 +72,16 @@ object Coerce {
       else lit(null).cast(f.dataType).as(f.name)
     }.toIndexedSeq: _*)
   }
+
+  /** positional coercion ≙ AvroConverter.fromArray (:197-216): schema
+    * fields zip input columns by INDEX (headerless CSV `_c0.._cN` case);
+    * missing trailing fields → typed nulls
+    */
+  def framePositional(df: DataFrame, target: StructType, opts: CoerceOptions = CoerceOptions()): DataFrame = {
+    val in = df.columns
+    df.select(target.fields.zipWithIndex.map { case (f, i) =>
+      if (i < in.length) cell(col(in(i)), f.dataType, opts).as(f.name)
+      else lit(null).cast(f.dataType).as(f.name)
+    }.toIndexedSeq: _*)
+  }
 }
