@@ -64,7 +64,7 @@ object Bench {
     val sf = "sf([0-9.]+)".r.findFirstMatchIn(sfDir).map(_.group(1).toDouble).getOrElse(0.1)
     val benchRows = math.max(20000L, (sf * 8000000L).toLong)
     val nParts = 64
-    val reps = 3
+    val reps = 4 // host CPU drifts ~2x between windows; more mins = stabler
 
     // ---- materialize the bench input once (shared by all levels) ----
     val tmp = java.nio.file.Files.createTempDirectory("graft-bench").toString
@@ -93,6 +93,18 @@ object Bench {
       Encoder.EncodeConfig(numPartitions = nParts)))
     // JIT warmup for the encode path
     val (rawBytes, encBytes, _) = encodeRun(spark, inputPath, nParts, skew)
+
+    // decode throughput at hi (blocks cached, so this times decode alone)
+    val benchCols = Seq("repo", "path", "commit", "lang", "content")
+    val cachedBlocks = Encoder.encode(spark.read.parquet(inputPath), benchCols,
+      Seq("repo", "path", "commit"),
+      Encoder.EncodeConfig(numPartitions = nParts, blockRows = 16384), skew).cache()
+    cachedBlocks.count()
+    graft.engine.Decoder.decode(cachedBlocks, benchCols).count() // warm
+    val (_, decodeSec) = time {
+      graft.engine.Decoder.decode(cachedBlocks, benchCols).count()
+    }
+    cachedBlocks.unpersist()
     spark.stop()
 
     // ---- interleaved multi-level throughput runs, min per level ----
@@ -130,6 +142,7 @@ object Bench {
         s""""beats_parquet_snappy":${encBytes <= parquetSnappy},""" +
         s""""beats_avro_deflate":${encBytes <= avroDeflate},""" +
         s""""throughput_gbps":$thJson,"seconds":$secJson,""" +
+        s""""decode_gbps":${rawBytes / decodeSec / 1e9},""" +
         s""""scaling_efficiency_pairs":$effJson,""" +
         s""""scaling_efficiency":$headlineEff}"""
     println(json)
@@ -154,6 +167,7 @@ object Bench {
          || encoded bytes | $encBytes (${f"${rawBytes.toDouble / math.max(1, encBytes)}%.2f"}x) |
          || parquet-snappy bar | $parquetSnappy (beat: ${encBytes <= parquetSnappy}) |
          || avro-deflate bar | $avroDeflate (beat: ${encBytes <= avroDeflate}) |
+         || decode throughput local[$hi] | ${f"${rawBytes / decodeSec / 1e9}%.3f"} GB/s |
          $thLines
          $effLines
          |""".stripMargin
