@@ -12,27 +12,54 @@ import org.apache.spark.sql.types.{BinaryType, StructField, StructType}
   */
 object Decoder {
 
-  def decode(blocks: Dataset[EncodedBlock], cols: Seq[String]): DataFrame = {
+  /** Corrupt-block policy ≙ the reference's onBadLines for undecodable
+    * input (reference: OnBadLines.java:6-19, applied on the decode path
+    * like avro/AvroToIon.java:110-118): ERROR fails the job with a block
+    * identity in the message; SKIP drops the whole block-group; WARN drops
+    * and logs to stderr.
+    */
+  sealed trait OnBadBlocks
+  case object ErrorOnBadBlocks extends OnBadBlocks
+  case object SkipBadBlocks extends OnBadBlocks
+  case object WarnBadBlocks extends OnBadBlocks
+
+  def decode(blocks: Dataset[EncodedBlock], cols: Seq[String],
+      onBad: OnBadBlocks = ErrorOnBadBlocks): DataFrame = {
     val colNames = cols.toArray
     val binSchema = StructType(colNames.map(c => StructField(c, BinaryType, nullable = true)))
     val keyEnc = Encoders.tuple(Encoders.scalaInt, Encoders.scalaInt)
     val grouped = blocks.groupByKey(b => (b.partId, b.blockIdx))(keyEnc)
-    val binary = grouped.flatMapGroups { (_, it) =>
+    val binary = grouped.flatMapGroups { (key, it) =>
       val byCol = scala.collection.mutable.HashMap.empty[String, EncodedBlock]
       it.foreach(b => byCol(b.colName) = b)
-      val decoded: Array[Array[Array[Byte]]] =
-        colNames.map(c => BlockCodec.decodeBlock(byCol.getOrElse(c,
+      val decodedOrErr: Either[Throwable, Array[Array[Array[Byte]]]] =
+        try Right(colNames.map(c => BlockCodec.decodeBlock(byCol.getOrElse(c,
           throw new IllegalStateException(
-            s"missing column block '$c' (have ${byCol.keys.mkString(",")})"))))
-      val n = decoded(0).length
-      (0 until n).iterator.map { i =>
-        val vals = new Array[Any](colNames.length)
-        var c = 0
-        while (c < colNames.length) {
-          vals(c) = decoded(c)(i)
-          c += 1
-        }
-        Row.fromSeq(scala.collection.immutable.ArraySeq.unsafeWrapArray(vals))
+            s"missing column block '$c' (have ${byCol.keys.mkString(",")})")))))
+        catch { case e: Throwable => Left(e) }
+      decodedOrErr match {
+        case Left(e) =>
+          onBad match {
+            case ErrorOnBadBlocks =>
+              throw new IllegalStateException(
+                s"undecodable block group (partId=${key._1}, blockIdx=${key._2}): ${e.getMessage}", e)
+            case SkipBadBlocks => Iterator.empty
+            case WarnBadBlocks =>
+              System.err.println(
+                s"[graft] skipping undecodable block group (partId=${key._1}, blockIdx=${key._2}): ${e.getMessage}")
+              Iterator.empty
+          }
+        case Right(decoded) =>
+          val n = decoded(0).length
+          (0 until n).iterator.map { i =>
+            val vals = new Array[Any](colNames.length)
+            var c = 0
+            while (c < colNames.length) {
+              vals(c) = decoded(c)(i)
+              c += 1
+            }
+            Row.fromSeq(scala.collection.immutable.ArraySeq.unsafeWrapArray(vals))
+          }
       }
     }(Encoders.row(binSchema))
     // binary → string cast restores the exact UTF-8 content (codegen'd)

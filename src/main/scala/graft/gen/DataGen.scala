@@ -134,6 +134,7 @@ object DataGen {
       case 0L => ""
       case 1L => "x"
       case 2L => "// 多语言注释 🚀 café déjà-vu\nval π = 314159\n"
+      case 3L => genContent(rng, lang, 64 * 1024) // near-max-length row (FIXTURES §1)
       case _ =>
         val target = cfg.contentTargetMin +
           rng.nextInt(math.max(1, cfg.contentTargetMax - cfg.contentTargetMin))
