@@ -76,8 +76,11 @@ object Fsst extends Codec {
       }
     }
 
-    /** longest symbol matching data[pos..end); -1 if none */
-    def findLongest(data: Array[Byte], pos: Int, end: Int): Int = {
+    /** longest symbol matching data[pos..end); returns (code<<8 | len)
+      * packed so the hot loop never dereferences the symbols array; -1 if
+      * none
+      */
+    def findLongestPacked(data: Array[Byte], pos: Int, end: Int): Int = {
       val list = buckets(data(pos) & 0xff)
       if (list.length == 0) return -1
       val avail = end - pos
@@ -85,7 +88,7 @@ object Fsst extends Codec {
         val w = LE_LONG.get(data, pos).asInstanceOf[Long]
         var i = 0
         while (i < list.length) {
-          if ((w & list(i)) == list(i + 1)) return (list(i + 2) >>> 8).toInt
+          if ((w & list(i)) == list(i + 1)) return list(i + 2).toInt
           i += 3
         }
         -1
@@ -96,11 +99,17 @@ object Fsst extends Codec {
         var i = 0
         while (i < list.length) {
           if ((list(i + 2) & 0xffL) <= avail && (w & list(i)) == list(i + 1))
-            return (list(i + 2) >>> 8).toInt
+            return list(i + 2).toInt
           i += 3
         }
         -1
       }
+    }
+
+    /** longest symbol code only (training path) */
+    def findLongest(data: Array[Byte], pos: Int, end: Int): Int = {
+      val p = findLongestPacked(data, pos, end)
+      if (p < 0) -1 else p >>> 8
     }
   }
 
@@ -123,7 +132,7 @@ object Fsst extends Codec {
     out.toArray
   }
 
-  private[codec] def train(values: Array[Array[Byte]]): Array[Array[Byte]] = {
+  def train(values: Array[Array[Byte]]): Array[Array[Byte]] = {
     val samp = sample(values)
     var table = new Table(Array.empty)
     var gen = 0
@@ -187,25 +196,30 @@ object Fsst extends Codec {
     }
 
     val payload = new ByteWriter(4096)
-    val scratch = new ByteWriter(256)
+    var scratch = new Array[Byte](1024) // raw reusable code buffer
     var i = 0
     while (i < values.length) {
       val v = values(i)
-      scratch.clear()
+      val n = v.length
+      if (scratch.length < 2 * n) scratch = new Array[Byte](2 * n)
+      val buf = scratch
+      var out = 0
       var pos = 0
-      while (pos < v.length) {
-        val code = table.findLongest(v, pos, v.length)
-        if (code >= 0) {
-          scratch.writeByte(code)
-          pos += symbols(code).length
+      while (pos < n) {
+        val packed = table.findLongestPacked(v, pos, n)
+        if (packed >= 0) {
+          buf(out) = (packed >>> 8).toByte
+          out += 1
+          pos += packed & 0xff
         } else {
-          scratch.writeByte(EscapeCode)
-          scratch.writeByte(v(pos))
+          buf(out) = EscapeCode.toByte
+          buf(out + 1) = v(pos)
+          out += 2
           pos += 1
         }
       }
-      payload.writeVarInt(scratch.size)
-      scratch.writeTo(payload)
+      payload.writeVarInt(out)
+      payload.writeBytes(buf, 0, out)
       i += 1
     }
     (meta.result(), payload.result())

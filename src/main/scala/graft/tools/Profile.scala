@@ -57,6 +57,9 @@ object Profile {
       bench(s"$cn/block(full)", raw) {
         BlockCodec.encodeBlock(cn, 0, 0, vals, chosen).encodedBytes
       }
+      if (cn == "content") {
+        bench(s"$cn/fsst-train-only", raw) { Fsst.train(vals).length.toLong }
+      }
       // decode speed of the chosen codec
       val (m, p) = chosen.encode(vals)
       bench(s"$cn/decode(${graft.model.CodecId.name(chosen.id)})", raw) {
