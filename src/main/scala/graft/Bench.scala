@@ -27,6 +27,9 @@ object Bench {
       // scan parallelism must exceed core count (default 128m bin-packs the
       // bench input into ~9 tasks, starving local[32])
       .config("spark.sql.files.maxPartitionBytes", "16m")
+      // AQE re-planning buys nothing for the explicitly-partitioned encode
+      // and adds driver latency to every stage
+      .config("spark.sql.adaptive.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -60,7 +63,8 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val hi = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
-    val levels = Seq(math.max(1, hi / 16), math.max(1, hi / 4), hi).distinct
+    // every N with 4N also measured gives an N→4N efficiency pair
+    val levels = Seq(1, math.max(1, hi / 8), math.max(1, hi / 4), hi).distinct
     val sf = "sf([0-9.]+)".r.findFirstMatchIn(sfDir).map(_.group(1).toDouble).getOrElse(0.1)
     val benchRows = math.max(20000L, (sf * 8000000L).toLong)
     val nParts = 64
@@ -124,9 +128,8 @@ object Bench {
     }
     val th = levels.map(l => l -> rawBytes / best(l) / 1e9).toMap
     def eff(a: Int, b: Int): Double = th(b) / ((b.toDouble / a) * th(a))
-    val effPairs = levels.sliding(2).collect {
-      case Seq(a, b) => (a, b, eff(a, b))
-    }.toSeq
+    val effPairs = levels.filter(a => levels.contains(4 * a))
+      .map(a => (a, 4 * a, eff(a, 4 * a)))
 
     val qs = queryTimes.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
     val thJson = levels.map(l => s""""local[$l]":${th(l)}""").mkString("{", ",", "}")

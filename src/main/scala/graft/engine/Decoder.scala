@@ -28,7 +28,12 @@ object Decoder {
     val colNames = cols.toArray
     val binSchema = StructType(colNames.map(c => StructField(c, BinaryType, nullable = true)))
     val keyEnc = Encoders.tuple(Encoders.scalaInt, Encoders.scalaInt)
-    val grouped = blocks.groupByKey(b => (b.partId, b.blockIdx))(keyEnc)
+    // column pruning: blocks of unrequested columns never enter the shuffle
+    // (a pushable filter on the blocks scan — decode a 1-column projection
+    // of a 5-column table and only 1/5th of the bytes move)
+    val wanted = blocks.filter(
+      org.apache.spark.sql.functions.col("colName").isin(colNames.toIndexedSeq: _*))
+    val grouped = wanted.groupByKey(b => (b.partId, b.blockIdx))(keyEnc)
     val binary = grouped.flatMapGroups { (key, it) =>
       val byCol = scala.collection.mutable.HashMap.empty[String, EncodedBlock]
       it.foreach(b => byCol(b.colName) = b)

@@ -54,6 +54,21 @@ class FilteredDecodeSpec extends AnyFunSuite {
     blocks.unpersist(); df.unpersist()
   }
 
+  test("single-column projection decode matches and prunes the shuffle") {
+    val df = DataGen.table(spark,
+      DataGen.GenConfig(rows = 3000, parts = 4)).toDF().cache()
+    val blocks = Encoder.encode(df, cols, Seq("repo", "path", "commit"),
+      Encoder.EncodeConfig(numPartitions = 4)).cache()
+    val langOnly = Decoder.decode(blocks, Seq("lang"))
+    assert(langOnly.columns.toSeq == Seq("lang"))
+    val got = langOnly.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val want = df.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == want)
+    blocks.unpersist(); df.unpersist()
+  }
+
   test("mayContain prunes dict and FoR blocks without decode") {
     import graft.codec._
     def b(s: String) = s.getBytes("UTF-8")
