@@ -109,6 +109,12 @@ object SparkEntry {
         |  CAST(sum(len(regexp_replace(text, '[^a-zA-Z]', '', 'g'))) AS BIGINT) AS alpha_chars,
         |  CAST(sum(len(text) - len(replace(text, ' ', ''))) AS BIGINT) AS space_chars
         |FROM documents GROUP BY lang""".stripMargin,
+    "q_quality_score" -> OracleSql.qualityScore,
+    "q_ngram_jaccard" -> OracleSql.ngramJaccard(DedupQueries.ShingleDocFreqCap),
+    "q_lang_id" -> OracleSql.langId,
+    "q_fingerprint" -> OracleSql.fingerprint,
+    "q_simhash" -> OracleSql.simhash,
+    "q_embed_topk" -> OracleSql.embedTopK,
     "q_csv_roundtrip" ->
       """SELECT lang, count(*) AS cnt, CAST(sum(n_chars) AS BIGINT) AS total_chars
         |FROM documents GROUP BY lang""".stripMargin,

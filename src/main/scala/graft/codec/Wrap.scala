@@ -46,7 +46,15 @@ object Wrap {
       val out = new Array[Byte](origLen)
       var off = 0
       while (off < origLen && !inf.finished()) {
-        off += inf.inflate(out, off, origLen - off)
+        val n = inf.inflate(out, off, origLen - off)
+        // inflate returns 0 with needsInput on truncated/corrupt data —
+        // must throw (not spin) so the decode bad-block policy can act
+        if (n == 0 && (inf.needsInput() || inf.needsDictionary())) {
+          inf.end()
+          throw new IllegalStateException(
+            s"truncated deflate stream at $off/$origLen bytes")
+        }
+        off += n
       }
       inf.end()
       require(off == origLen, s"deflate underflow: $off != $origLen")

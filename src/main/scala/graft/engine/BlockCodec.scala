@@ -138,8 +138,11 @@ object BlockCodec {
             val m = new ByteReader(meta)
             val min = m.readZigZag()
             val w = m.readByte()
-            val max = if (w >= 64) Long.MaxValue
-                      else min + (if (w == 0) 0L else (1L << w) - 1L)
+            // saturating upper bound: min + (2^w - 1) can wrap when min > 0
+            // and w is large (e.g. block {1, Long.MaxValue} → w = 63)
+            val span = if (w == 0) 0L else (1L << w) - 1L
+            val max = if (w >= 64 || min > Long.MaxValue - span) Long.MaxValue
+                      else min + span
             v >= min && v <= max
         }
     }

@@ -17,6 +17,7 @@ object Checkpoint {
   def blocksDir(outDir: String) = s"$outDir/blocks"
   // no leading underscore: Spark's hidden-path filter skips `_*` when listing
   def manifestDir(outDir: String) = s"$outDir/manifest"
+  def skewPlanFile(outDir: String) = s"$outDir/skewplan.txt"
 
   final case class EncodeResult(
       completedParts: Int,
@@ -48,7 +49,19 @@ object Checkpoint {
       outDir: String,
       inputFingerprint: String): EncodeResult = {
     val spark = df.sparkSession
-    val fp = fingerprint(inputFingerprint, cols, sortKeys, cfg)
+    val baseFp = fingerprint(inputFingerprint, cols, sortKeys, cfg)
+
+    // The skew plan is sampled, so it is NOT a pure function of (row, cfg) —
+    // a resumed run could derive a different row→partition mapping and mix
+    // old-mapping and new-mapping partitions. Persist the plan on first run
+    // and replay it verbatim on resume; fold it into the manifest
+    // fingerprint so entries from a different plan never match.
+    val skew = loadOrComputeSkewPlan(spark, df, sortKeys.head, cfg, outDir, baseFp)
+    val fp = {
+      val md = java.security.MessageDigest.getInstance("SHA-256")
+      val canon = skew.toSeq.sorted.map { case (k, v) => s"$k=$v" }.mkString(";")
+      md.digest(s"$baseFp|skew:$canon".getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    }
 
     val completed: Set[Int] =
       if (!manifestExists(spark, outDir)) Set.empty
@@ -63,7 +76,7 @@ object Checkpoint {
     // (crashed mid-write) so re-encode does not duplicate
     cleanUncommitted(spark, outDir, completed)
 
-    val partitioned = Encoder.partitionInput(df, cols, sortKeys, cfg)
+    val partitioned = Encoder.partitionInput(df, cols, sortKeys, cfg, Some(skew))
     val blocks = Encoder.encodePartitioned(partitioned, cols, cfg, skipParts = completed)
     blocks.write
       .mode(SaveMode.Append)
@@ -95,6 +108,52 @@ object Checkpoint {
       rowCount = summary.getLong(0) / math.max(1, cols.length),
       rawBytes = summary.getLong(1),
       encodedBytes = summary.getLong(2))
+  }
+
+  /** Load the persisted skew plan if it was written under the same base
+    * fingerprint; otherwise compute one and commit it (temp-then-rename)
+    * before any encode work starts. File format: line 1 = base fingerprint,
+    * then one `buckets<TAB>base64(keyUtf8)` line per skewed key (base64
+    * sidesteps keys containing tabs/newlines).
+    */
+  private def loadOrComputeSkewPlan(
+      spark: SparkSession,
+      df: DataFrame,
+      skewKey: String,
+      cfg: Encoder.EncodeConfig,
+      outDir: String,
+      baseFp: String): Map[String, Int] = {
+    val path = new org.apache.hadoop.fs.Path(skewPlanFile(outDir))
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val b64 = java.util.Base64.getEncoder
+    val b64d = java.util.Base64.getDecoder
+
+    if (fs.exists(path)) {
+      val in = fs.open(path)
+      val lines =
+        try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toVector
+        finally in.close()
+      if (lines.nonEmpty && lines.head == baseFp)
+        return lines.tail.iterator.filter(_.nonEmpty).map { ln =>
+          val Array(n, k) = ln.split("\t", 2)
+          new String(b64d.decode(k), "UTF-8") -> n.toInt
+        }.toMap
+      // stale plan from a different input/config: fall through and replace
+    }
+
+    val plan = Encoder.skewPlan(df, skewKey, cfg)
+    val tmp = new org.apache.hadoop.fs.Path(skewPlanFile(outDir) + ".tmp")
+    if (fs.exists(tmp)) fs.delete(tmp, false)
+    val out = fs.create(tmp, true)
+    try {
+      val body = (baseFp +: plan.toSeq.sortBy(_._1).map { case (k, n) =>
+        s"$n\t${b64.encodeToString(k.getBytes("UTF-8"))}"
+      }).mkString("\n")
+      out.write(body.getBytes("UTF-8"))
+    } finally out.close()
+    if (fs.exists(path)) fs.delete(path, false)
+    require(fs.rename(tmp, path), s"atomic skew-plan rename failed: $tmp -> $path")
+    plan
   }
 
   private def cleanUncommitted(

@@ -40,17 +40,30 @@ object Encoder {
     */
   val SkewSampleFraction = 0.05
 
-  /** Per-repo salting plan: repo → number of salt buckets (only skewed repos). */
+  /** Per-repo salting plan: repo → number of salt buckets (only skewed repos).
+    *
+    * The heavy-hitter filter runs IN SPARK before any collect: at 100× scale
+    * (millions of distinct repos) collecting one row per repo would OOM the
+    * driver, but the set of keys holding > skewFactor/numPartitions of all
+    * rows is ≤ numPartitions/skewFactor entries by construction — tiny.
+    */
   def skewPlan(df: DataFrame, skewKey: String, cfg: EncodeConfig): Map[String, Int] = {
     val sampled = df.select(col(skewKey)).sample(SkewSampleFraction, seed = 42L)
-    val rows = sampled.groupBy(col(skewKey)).agg(count(lit(1)).as("cnt")).collect()
-    val total = rows.map(_.getLong(1)).sum
-    val target = math.max(1L, total / math.max(1, cfg.numPartitions))
-    rows.iterator
-      .filter(r => r.getLong(1) > (cfg.skewFactor * target).toLong)
-      .map(r => r.getString(0) ->
-        math.ceil(r.getLong(1).toDouble / (target / 4.0)).toInt)
-      .toMap
+    val counts = sampled.groupBy(col(skewKey)).agg(count(lit(1)).as("cnt")).persist()
+    try {
+      val totalRow = counts.agg(sum(col("cnt"))).first()
+      if (totalRow.isNullAt(0)) return Map.empty
+      val total = totalRow.getLong(0)
+      val target = math.max(1L, total / math.max(1, cfg.numPartitions))
+      val threshold = (cfg.skewFactor * target).toLong
+      counts
+        .filter(col("cnt") > threshold && col(skewKey).isNotNull)
+        .collect()
+        .iterator
+        .map(r => r.getString(0) ->
+          math.ceil(r.getLong(1).toDouble / (target / 4.0)).toInt)
+        .toMap
+    } finally counts.unpersist()
   }
 
   /** Partition + sort the input so equal/nearby keys co-locate
@@ -77,7 +90,16 @@ object Encoder {
       if (bigRepos.isEmpty) lit(0)
       else {
         val nb = coalesce(element_at(typedLit(bigRepos), col(skewKey)), lit(1))
-        pmod(abs(xxhash64(restKeys.map(col): _*)), nb).cast("int")
+        // pure function of the row (resume-safe). When the skew key is the
+        // only sort key, hash every other column instead — xxhash64 needs
+        // ≥1 argument and a constant salt wouldn't split the heavy group.
+        val hashCols =
+          if (restKeys.nonEmpty) restKeys.map(col)
+          else {
+            val others = df.columns.filterNot(_ == skewKey)
+            if (others.nonEmpty) others.toSeq.map(col) else Seq(col(skewKey))
+          }
+        pmod(abs(xxhash64(hashCols: _*)), nb).cast("int")
       }
     val orderCols = col(skewKey) +: col("__salt") +: restKeys.map(col)
     df.withColumn("__salt", saltCol)

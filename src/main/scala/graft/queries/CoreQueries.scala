@@ -29,18 +29,26 @@ object Tables {
 object CoreQueries {
   import Tables._
 
-  /** stats pass per column, built from Spark aggregates (SQL-parity shape) */
+  /** stats pass per column, built from Spark aggregates (SQL-parity shape).
+    * ONE scan computes all three columns' aggregate sets (vs one pass per
+    * column), and ndv of the wide `text` column distinct-counts the 64-char
+    * sha2 digest instead of shuffling full document bodies — exact for
+    * counting purposes and 32 bytes/row on the wire at any scale.
+    */
   def statsCols(spark: SparkSession, sfDir: String): DataFrame = {
     val d = load(spark, sfDir, "documents")
-    def one(c: String): DataFrame = d.agg(
-      count(lit(1)).as("cnt"),
-      countDistinct(col(c)).as("ndv"),
-      min(length(col(c))).cast("long").as("min_len"),
-      max(length(col(c))).cast("long").as("max_len"),
-      sum(length(col(c))).cast("long").as("total_len"))
-      .select(lit(c).as("col_name"), col("cnt"), col("ndv"), col("min_len"),
-        col("max_len"), col("total_len"))
-    one("text").unionByName(one("lang")).unionByName(one("source"))
+    def aggsFor(c: String): Seq[org.apache.spark.sql.Column] = Seq(
+      countDistinct(if (c == "text") sha2(col(c), 256) else col(c)).as(s"ndv_$c"),
+      min(length(col(c))).cast("long").as(s"min_$c"),
+      max(length(col(c))).cast("long").as(s"max_$c"),
+      sum(length(col(c))).cast("long").as(s"tot_$c"))
+    val cols = Seq("text", "lang", "source")
+    val all = count(lit(1)).as("cnt") +: cols.flatMap(aggsFor)
+    val stackArgs = cols.map(c =>
+      s"'$c', cnt, ndv_$c, min_$c, max_$c, tot_$c").mkString(", ")
+    d.agg(all.head, all.tail: _*)
+      .selectExpr(s"stack(${cols.length}, $stackArgs) " +
+        "as (col_name, cnt, ndv, min_len, max_len, total_len)")
   }
 
   /** per-source row counts + salt-bucket plan (target 25 rows/bucket) */

@@ -16,12 +16,16 @@ object DedupQueries {
   val NumBands = 8 // × 4 rows per band
   val BucketCap = 200 // drop degenerate LSH buckets larger than this
 
-  /** exact duplication profile (hash-groupBy semantics, 1 summary row) */
+  /** exact duplication profile (hash-groupBy semantics, 1 summary row).
+    * Distinct runs over sha2(text) — identical counts (barring a 2^-256
+    * collision) while shuffling 64 hex chars per row instead of whole
+    * documents; at 100 TB the difference is the job.
+    */
   def dedupExact(spark: SparkSession, sfDir: String): DataFrame =
     load(spark, sfDir, "documents").agg(
       count(lit(1)).as("total_docs"),
-      countDistinct(col("text")).as("distinct_texts"),
-      (count(lit(1)) - countDistinct(col("text"))).as("dup_rows"))
+      countDistinct(sha2(col("text"), 256)).as("distinct_texts"),
+      (count(lit(1)) - countDistinct(sha2(col("text"), 256))).as("dup_rows"))
 
   /** distinct word-3-shingles per doc (short docs fall back to whole text) */
   private def shingles(docs: DataFrame): DataFrame =
@@ -90,23 +94,42 @@ object DedupQueries {
       .withColumn("simhash_hex", lower(col("simhash_hex")))
       .orderBy("doc_id")
 
-  /** exact n-gram Jaccard for LSH candidates (shingle-join, not all-pairs) */
+  /** A shingle appearing in k docs contributes k² rows to the self-join:
+    * one boilerplate phrase across 10⁶ docs is 10¹² rows. Shingles above
+    * this doc-frequency are dropped before the join (the standard guard —
+    * they carry ~zero Jaccard signal anyway); `shared` is then a lower
+    * bound for pairs sharing ultra-common shingles, exact otherwise.
+    */
+  val ShingleDocFreqCap = 100
+
+  /** n-gram Jaccard via shingle-join (never all-pairs), capped as above */
   def ngramJaccard(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = load(spark, sfDir, "documents")
     val sh = shingles(docs).cache()
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
-    val shared = sh.select(col("doc_id").as("doc_a"), col("shingle"))
-      .join(sh.select(col("doc_id").as("doc_b"), col("shingle")), Seq("shingle"))
+    // the HEAVY set is bounded (≤ totalShingles/cap entries) — broadcast
+    // anti-join it away rather than inner-joining the huge ok-set
+    val heavy = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+      .where(col("df") > ShingleDocFreqCap)
+      .select("shingle")
+    val pruned = sh.join(broadcast(heavy), Seq("shingle"), "left_anti")
+    val shared = pruned.select(col("doc_id").as("doc_a"), col("shingle"))
+      .join(pruned.select(col("doc_id").as("doc_b"), col("shingle")), Seq("shingle"))
       .where(col("doc_a") < col("doc_b"))
       .groupBy("doc_a", "doc_b")
       .agg(count(lit(1)).as("shared"))
+    // integer outputs (shared / sizes / basis-point jaccard by integer
+    // division) hash identically in any engine; the double is ORDER-only
     shared
       .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sz_a")), Seq("doc_a"))
       .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("sz_b")), Seq("doc_b"))
-      .select(col("doc_a"), col("doc_b"),
+      .select(col("doc_a"), col("doc_b"), col("shared"),
+        col("sz_a"), col("sz_b"),
+        expr("(10000 * shared) DIV (sz_a + sz_b - shared)").as("jac_bp"),
         (col("shared").cast("double") /
           (col("sz_a") + col("sz_b") - col("shared"))).as("jaccard"))
       .orderBy(col("jaccard").desc, col("doc_a"), col("doc_b"))
       .limit(50)
+      .drop("jaccard")
   }
 }

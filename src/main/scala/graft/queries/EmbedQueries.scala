@@ -13,7 +13,24 @@ object EmbedQueries {
 
   val K = 5
   val NumQueries = 10
-  val LshBits = 8
+  /** independent hash tables (bands) — a pair is a candidate if it collides
+    * in ANY band, so recall compounds across bands
+    */
+  val LshBands = 4
+  /** desired mean bucket population; bits per band are derived from corpus
+    * size so buckets stay this size at ANY scale (256 fixed buckets would
+    * hold corpus/256 rows each at 100 TB — the join would degenerate)
+    */
+  val LshTargetBucket = 32
+  /** hard per-bucket cap (skew guard, mirrors DedupQueries.BucketCap) */
+  val LshBucketCap = 8 * LshTargetBucket
+
+  /** bits per band for a corpus of n vectors: 2^bits ≈ n / targetBucket */
+  def lshBitsFor(n: Long): Int = {
+    val raw = math.ceil(math.log(math.max(1.0, n.toDouble / LshTargetBucket))
+      / math.log(2.0)).toInt
+    math.min(24, math.max(4, raw))
+  }
 
   private def withNorm(df: DataFrame): DataFrame =
     df.select(col("vec_id"), col("embedding"),
@@ -41,7 +58,7 @@ object EmbedQueries {
       .withColumn("rnk", row_number().over(w).cast("long"))
       .where(col("rnk") <= K)
       .select(col("query_id"), col("neighbor_id"), col("rnk"),
-        round(col("cos"), 6).as("cos_r"))
+        round(col("cos") * 1000000).cast("long").as("cos_r6"))
       .orderBy("query_id", "rnk")
   }
 
@@ -55,73 +72,89 @@ object EmbedQueries {
     (z >>> 11).toDouble / (1L << 52).toDouble - 1.0
   }
 
-  /** LSH signature + per-bucket candidate generation, then exact cosine
-    * re-rank within buckets (the IVF/LSH-bucketed ANN scale path).
+  /** (vec_id, band, sig) — LshBands independent sign-random-projection
+    * signatures per vector; band b uses planes [b*bits, (b+1)*bits).
+    */
+  private def bandSignatures(df: DataFrame, bits: Int): DataFrame = {
+    import df.sparkSession.implicits._
+    val dim = 64
+    val planes =
+      Array.tabulate(LshBands * bits, dim)((p, j) => planeWeight(p, j))
+    df.select(col("vec_id"), col("embedding"))
+      .as[(Long, Seq[Float])]
+      .flatMap { case (id, emb) =>
+        (0 until LshBands).iterator.map { b =>
+          var sig = 0
+          var p = 0
+          while (p < bits) {
+            var dot = 0.0
+            var j = 0
+            val pl = planes(b * bits + p)
+            while (j < dim && j < emb.length) { dot += pl(j) * emb(j); j += 1 }
+            if (dot >= 0) sig |= (1 << p)
+            p += 1
+          }
+          (id, b, sig)
+        }
+      }
+      .toDF("vec_id", "band", "sig")
+  }
+
+  /** Multi-band LSH ANN: candidates = union over bands of same-bucket
+    * pairs (bucket-capped), then exact cosine re-rank. Bits per band scale
+    * with corpus size so each bucket holds ~LshTargetBucket vectors at any
+    * scale; the bucket join is therefore bounded at 100× — never corpus/256.
     */
   def lshTopK(spark: SparkSession, sfDir: String): DataFrame = {
-    import spark.implicits._
-    val dim = 64
-    val planes = Array.tabulate(LshBits, dim)((p, j) => planeWeight(p, j))
-    val sigOf = (emb: Seq[Float]) => {
-      var sig = 0
-      var p = 0
-      while (p < LshBits) {
-        var dot = 0.0
-        var j = 0
-        while (j < dim && j < emb.length) { dot += planes(p)(j) * emb(j); j += 1 }
-        if (dot >= 0) sig |= (1 << p)
-        p += 1
-      }
-      sig
-    }
-    val base = load(spark, sfDir, "embeddings")
-      .select(col("vec_id"), col("embedding"))
-      .as[(Long, Seq[Float])]
-      .map { case (id, emb) => (id, emb, sigOf(emb)) }
-      .toDF("vec_id", "embedding", "sig")
-    val vecs = base.select(col("vec_id"), col("embedding"), col("sig"),
-      sqrt(aggregate(transform(col("embedding"), x => x.cast("double") * x),
-        lit(0.0), _ + _)).as("norm"))
-    val queries = vecs.where(col("vec_id") < NumQueries)
-    // candidates share the signature bucket (multi-probe: exact bucket)
-    val joined = vecs.as("c").join(broadcast(queries.as("q")),
-      col("q.sig") === col("c.sig") && col("q.vec_id") =!= col("c.vec_id"))
+    val base = load(spark, sfDir, "embeddings").select(col("vec_id"), col("embedding"))
+    val n = base.count()
+    val bits = lshBitsFor(n)
+    val bands = bandSignatures(base, bits)
+    val okBuckets = bands.groupBy(col("band"), col("sig"))
+      .agg(count(lit(1)).as("bsz"))
+      .where(col("bsz") <= LshBucketCap && col("bsz") >= 2)
+      .select("band", "sig")
+    val inBuckets = bands.join(okBuckets, Seq("band", "sig"))
+    val qb = inBuckets.where(col("vec_id") < NumQueries)
+      .select(col("band"), col("sig"), col("vec_id").as("query_id"))
+    val candidates = qb.join(
+        inBuckets.select(col("band"), col("sig"), col("vec_id").as("neighbor_id")),
+        Seq("band", "sig"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .select("query_id", "neighbor_id")
+      .distinct()
+    val vecs = withNorm(base)
+    val joined = candidates
+      .join(broadcast(vecs.select(col("vec_id").as("query_id"),
+        col("embedding"), col("norm")).where(col("query_id") < NumQueries)
+        .as("q")), Seq("query_id"))
+      .join(vecs.select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("n_embedding"), col("norm").as("n_norm")),
+        Seq("neighbor_id"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
     joined
-      .select(col("q.vec_id").as("query_id"), col("c.vec_id").as("neighbor_id"),
-        cosine("q", "c").as("cos"))
+      .select(col("query_id"), col("neighbor_id"),
+        (aggregate(zip_with(col("embedding"), col("n_embedding"),
+          (x, y) => x.cast("double") * y), lit(0.0), _ + _) /
+          (col("norm") * col("n_norm"))).as("cos"))
       .withColumn("rnk", row_number().over(w).cast("long"))
       .where(col("rnk") <= K)
       .select(col("query_id"), col("neighbor_id"), col("rnk"),
-        round(col("cos"), 6).as("cos_r"))
+        round(col("cos") * 1000000).cast("long").as("cos_r6"))
       .orderBy("query_id", "rnk")
   }
 
-  /** LSH bucket histogram (bucket-size distribution — skew visibility) */
+  /** per-band LSH bucket histogram (bucket-size distribution — skew
+    * visibility across all LshBands tables)
+    */
   def lshBuckets(spark: SparkSession, sfDir: String): DataFrame = {
-    import spark.implicits._
-    val dim = 64
-    val planes = Array.tabulate(LshBits, dim)((p, j) => planeWeight(p, j))
-    load(spark, sfDir, "embeddings")
-      .select(col("vec_id"), col("embedding"))
-      .as[(Long, Seq[Float])]
-      .map { case (_, emb) =>
-        var sig = 0
-        var p = 0
-        while (p < LshBits) {
-          var dot = 0.0
-          var j = 0
-          while (j < dim && j < emb.length) { dot += planes(p)(j) * emb(j); j += 1 }
-          if (dot >= 0) sig |= (1 << p)
-          p += 1
-        }
-        sig
-      }
-      .toDF("sig")
-      .groupBy("sig").count()
-      .groupBy(col("count").as("bucket_size"))
+    val base = load(spark, sfDir, "embeddings").select(col("vec_id"), col("embedding"))
+    val n = base.count()
+    bandSignatures(base, lshBitsFor(n))
+      .groupBy(col("band"), col("sig")).count()
+      .groupBy(col("band"), col("count").as("bucket_size"))
       .agg(count(lit(1)).as("n_buckets"))
-      .orderBy("bucket_size")
+      .orderBy("band", "bucket_size")
   }
 }

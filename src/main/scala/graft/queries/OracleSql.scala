@@ -1,0 +1,184 @@
+package graft.queries
+
+/** DuckDB oracle statements for queries whose Spark implementation uses
+  * custom kernels (rolling hash, simhash, LSH-capped joins). Each statement
+  * recomputes the SAME result independently in DuckDB — including exact
+  * 64-bit wraparound arithmetic, done in HUGEINT with mod-2^64 reductions
+  * (DuckDB integers error on overflow rather than wrap, and `xor` only
+  * exists for BIGINT, so 64-bit values are split into 32-bit halves where
+  * needed). All statements were cross-validated against independent Python
+  * reimplementations on sf0.001/sf0.01 before being wired here.
+  */
+object OracleSql {
+
+  private val Mod = "18446744073709551616::HUGEINT" // 2^64
+  private val Half = "4294967296::HUGEINT" // 2^32
+
+  /** 64-entry literal list [2^0, 2^1, ..., 2^63] as HUGEINTs */
+  private val pow2List: String =
+    (0 until 64).map(b => s"${BigInt(1) << b}::HUGEINT").mkString("[", ", ", "]")
+
+  /** xor64(z, z >>> 33) on a 64-bit value held in HUGEINT, via 32-bit halves */
+  private def xorShr33(z: String): String =
+    s"""(CAST(xor(CAST($z // $Half AS BIGINT),
+       |  CAST(($z // 8589934592::HUGEINT) // $Half AS BIGINT)) AS HUGEINT) * $Half
+       |+ CAST(xor(CAST($z % $Half AS BIGINT),
+       |  CAST(($z // 8589934592::HUGEINT) % $Half AS BIGINT)) AS HUGEINT))""".stripMargin
+
+  /** (a * c) mod 2^64 without overflowing HUGEINT: split a into halves */
+  private def mulMod64(a: String, c: BigInt): String =
+    s"""((($a % $Half) * ${c}::HUGEINT
+       |+ ((($a // $Half) * ${c}::HUGEINT) % $Half) * $Half) % $Mod)""".stripMargin
+
+  /** q_quality_score: integer char/token/stopword stats per doc */
+  val qualityScore: String =
+    """SELECT doc_id, CAST(len(text) AS BIGINT) AS n_chars,
+      |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+      |  CAST(len(list_filter(string_split(text, ' '),
+      |    t -> t IN ('the','a','of','and','to','in','is','on'))) AS BIGINT) AS stop_hits,
+      |  (10000 * CAST(len(list_filter(string_split(text, ' '),
+      |    t -> t IN ('the','a','of','and','to','in','is','on'))) AS BIGINT))
+      |    // CAST(len(string_split(text, ' ')) AS BIGINT) AS stopword_bp,
+      |  (100 * CAST(len(text) AS BIGINT))
+      |    // CAST(len(string_split(text, ' ')) AS BIGINT) AS mean_token_len_c
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** q_ngram_jaccard: word-3-shingle Jaccard, shingles with doc-frequency
+    * above the cap dropped before the self-join (mirrors the Spark guard)
+    */
+  def ngramJaccard(cap: Int): String =
+    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       |sh AS (
+       |  SELECT DISTINCT doc_id, shingle FROM (
+       |    SELECT doc_id, unnest(CASE WHEN len(t) >= 3
+       |      THEN list_transform(range(1, len(t) - 1), i -> array_to_string(t[i:i+2], ' '))
+       |      ELSE [array_to_string(t, ' ')] END) AS shingle
+       |    FROM toks)),
+       |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+       |freq AS (SELECT shingle, count(*) AS df FROM sh GROUP BY 1),
+       |pruned AS (SELECT s.doc_id, s.shingle FROM sh s JOIN freq f USING (shingle)
+       |           WHERE f.df <= $cap),
+       |shared AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+       |  FROM pruned a JOIN pruned b USING (shingle)
+       |  WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+       |SELECT doc_a, doc_b, shared, sz_a, sz_b,
+       |  (10000 * shared) // (sz_a + sz_b - shared) AS jac_bp
+       |FROM (SELECT s.doc_a, s.doc_b, s.shared, sa.sz AS sz_a, sb.sz AS sz_b
+       |      FROM shared s JOIN sizes sa ON sa.doc_id = s.doc_a
+       |      JOIN sizes sb ON sb.doc_id = s.doc_b) t
+       |ORDER BY CAST(shared AS DOUBLE) / (sz_a + sz_b - shared) DESC, doc_a, doc_b
+       |LIMIT 50""".stripMargin
+
+  /** q_lang_id: char-trigram profiles (top 50 per lang) + per-doc argmax */
+  val langId: String =
+    """WITH tri AS (
+      |  SELECT lang, doc_id, tri, count(*) AS cnt FROM (
+      |    SELECT lang, doc_id,
+      |      unnest(list_transform(range(1, len(text) - 1), i -> text[i:i+2])) AS tri
+      |    FROM documents WHERE len(text) >= 3) t
+      |  GROUP BY 1, 2, 3),
+      |prof AS (
+      |  SELECT lang AS profile_lang, tri FROM (
+      |    SELECT lang, tri, row_number() OVER (PARTITION BY lang
+      |      ORDER BY sum(cnt) DESC, tri) AS rnk
+      |    FROM tri GROUP BY lang, tri) p WHERE rnk <= 50),
+      |scored AS (
+      |  SELECT doc_id, lang, profile_lang,
+      |    row_number() OVER (PARTITION BY doc_id
+      |      ORDER BY sum(cnt) DESC, profile_lang) AS rnk
+      |  FROM tri JOIN prof USING (tri) GROUP BY doc_id, lang, profile_lang)
+      |SELECT lang, profile_lang AS guessed, count(*) AS docs
+      |FROM scored WHERE rnk = 1 GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** q_fingerprint: Rabin–Karp rolling hash (window 16, base 1000003,
+    * mod 2^64), per-doc unsigned min over all windows, 16-hex-digit output.
+    * The window hash is computed positionally: h(s) = Σ c(s+k)·B^(15-k).
+    */
+  val fingerprint: String = {
+    val B = BigInt(1000003)
+    val mod = BigInt(1) << 64
+    // powList[k+1] = B^k mod 2^64
+    val powList = (0 until 16).map(k => s"${B.modPow(BigInt(k), mod)}::HUGEINT")
+      .mkString("[", ", ", "]")
+    s"""WITH d AS (SELECT doc_id, text, len(text) AS n FROM documents),
+       |cp AS (SELECT doc_id, n,
+       |         list_transform(range(1, n + 1),
+       |           i -> CAST(ascii(text[i:i]) AS HUGEINT)) AS cps
+       |       FROM d),
+       |h AS (SELECT doc_id,
+       |  CASE
+       |    WHEN n = 0 THEN 0::HUGEINT
+       |    WHEN n < 16 THEN
+       |      list_sum(list_transform(range(1, n + 1),
+       |        i -> cps[i] * ($powList)[n - i + 1])) % $Mod
+       |    ELSE
+       |      list_min(list_transform(range(1, n - 14),
+       |        s -> list_sum(list_transform(range(0, 16),
+       |               k -> cps[s + k] * ($powList)[16 - k]))
+       |             % $Mod))
+       |  END AS v
+       |  FROM cp)
+       |SELECT doc_id,
+       |  printf('%08x%08x',
+       |    CAST(v // $Half AS BIGINT),
+       |    CAST(v % $Half AS BIGINT)) AS fingerprint_hex
+       |FROM h ORDER BY doc_id""".stripMargin
+  }
+
+  /** q_simhash: per-token polynomial hash (seed 1125899906842597, base 31)
+    * finalized with murmur fmix64, 64 bit-majority votes per doc — the exact
+    * semantics of graft.functions.SimHashImpl, replayed in HUGEINT.
+    */
+  val simhash: String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest(list_filter(string_split(text, ' '), t -> t != '')) AS tok
+       |  FROM documents),
+       |h0 AS (
+       |  SELECT doc_id, list_reduce(
+       |      list_concat([1125899906842597::HUGEINT],
+       |        list_transform(range(1, len(tok) + 1),
+       |          i -> CAST(ascii(tok[i:i]) AS HUGEINT))),
+       |      (acc, x) -> (31 * acc + x) % $Mod) AS z
+       |  FROM tok),
+       |x1 AS (SELECT doc_id, ${xorShr33("z")} AS a FROM h0),
+       |m1 AS (SELECT doc_id, ${mulMod64("a", BigInt("ff51afd7ed558ccd", 16))} AS z FROM x1),
+       |x2 AS (SELECT doc_id, ${xorShr33("z")} AS a FROM m1),
+       |m2 AS (SELECT doc_id, ${mulMod64("a", BigInt("c4ceb9fe1a85ec53", 16))} AS z FROM x2),
+       |th AS (SELECT doc_id, ${xorShr33("z")} AS h FROM m2),
+       |bits AS (
+       |  SELECT doc_id, b,
+       |    sum(CASE WHEN CAST((h // ($pow2List)[b + 1]) % 2 AS INT) = 1
+       |        THEN 1 ELSE -1 END) AS vote
+       |  FROM th, range(0, 64) AS r(b) GROUP BY doc_id, b),
+       |vals AS (
+       |  SELECT d.doc_id,
+       |    coalesce(sum(CASE WHEN vote > 0 THEN ($pow2List)[b + 1] ELSE 0::HUGEINT END),
+       |      0::HUGEINT) AS v
+       |  FROM (SELECT DISTINCT doc_id FROM documents) d
+       |  LEFT JOIN bits USING (doc_id) GROUP BY d.doc_id)
+       |SELECT doc_id,
+       |  printf('%08x%08x',
+       |    CAST(v // $Half AS BIGINT),
+       |    CAST(v % $Half AS BIGINT)) AS simhash_hex
+       |FROM vals ORDER BY doc_id""".stripMargin
+
+  /** q_embed_topk: exact cosine top-k in DOUBLE arithmetic with the same
+    * left-to-right summation order as the Spark fold
+    */
+  val embedTopK: String =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+      |n AS (SELECT vec_id, emb,
+      |        sqrt(list_sum(list_transform(emb, x -> x * x))) AS nrm FROM e),
+      |p AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      |        list_sum(list_transform(range(1, 65), i -> q.emb[i] * c.emb[i]))
+      |          / (q.nrm * c.nrm) AS cos
+      |      FROM n q, n c WHERE q.vec_id < 10 AND c.vec_id != q.vec_id),
+      |r AS (SELECT query_id, neighbor_id,
+      |        CAST(row_number() OVER (PARTITION BY query_id
+      |          ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rnk, cos
+      |      FROM p)
+      |SELECT query_id, neighbor_id, rnk,
+      |  CAST(round(cos * 1000000) AS BIGINT) AS cos_r6
+      |FROM r WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin
+}

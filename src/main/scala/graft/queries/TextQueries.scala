@@ -29,7 +29,10 @@ object TextQueries {
         sum(length(col("text")) - length(regexp_replace(col("text"), " ", "")))
           .cast("long").as("space_chars"))
 
-  /** per-doc quality score (length / stopword ratio / mean token length) */
+  /** per-doc quality score (length / stopword ratio / mean token length).
+    * Ratios are emitted as integer basis points via integer division —
+    * engine-independent for the DuckDB hash compare (no FP rounding rules).
+    */
   def qualityScore(spark: SparkSession, sfDir: String): DataFrame = {
     val stopwords = Seq("the", "a", "of", "and", "to", "in", "is", "on")
     val toks = split(col("text"), " ")
@@ -39,11 +42,12 @@ object TextQueries {
     load(spark, sfDir, "documents")
       .select(
         col("doc_id"),
-        length(col("text")).as("n_chars"),
-        size(toks).as("n_tokens"),
-        round(stopHits.cast("double") / size(toks), 4).as("stopword_ratio"),
-        round(length(col("text")).cast("double") / size(toks), 4)
-          .as("mean_token_len"))
+        length(col("text")).cast("long").as("n_chars"),
+        size(toks).cast("long").as("n_tokens"),
+        stopHits.cast("long").as("stop_hits"))
+      .select(col("doc_id"), col("n_chars"), col("n_tokens"), col("stop_hits"),
+        expr("(10000 * stop_hits) DIV n_tokens").as("stopword_bp"),
+        expr("(100 * n_chars) DIV n_tokens").as("mean_token_len_c"))
       .orderBy("doc_id")
   }
 
@@ -57,28 +61,39 @@ object TextQueries {
 
   private def langIdImpl(docs: DataFrame): DataFrame = {
     import docs.sparkSession.implicits._
-    // top-k trigram profile per lang
+    // per-doc trigram COUNTS (a HashMap per doc inside the flatMap): the
+    // shuffle carries one row per distinct trigram per doc, not one row per
+    // trigram POSITION — a 10 KB doc is ~hundreds of rows, not ~10K
     val tri = docs
       .select(col("lang"), col("doc_id"), col("text"))
       .as[(String, Long, String)]
       .flatMap { case (lang, id, text) =>
-        (0 to math.max(0, text.length - 3)).iterator
-          .filter(_ => text.length >= 3)
-          .map(i => (lang, id, text.substring(i, i + 3)))
+        if (text.length < 3) Iterator.empty
+        else {
+          val m = new java.util.HashMap[String, Long]()
+          var i = 0
+          val last = text.length - 3
+          while (i <= last) {
+            m.merge(text.substring(i, i + 3), 1L, (a, b) => a + b)
+            i += 1
+          }
+          scala.jdk.CollectionConverters.IteratorHasAsScala(m.entrySet().iterator())
+            .asScala.map(e => (lang, id, e.getKey, e.getValue))
+        }
       }
-      .toDF("lang", "doc_id", "tri")
-    val profiles = tri.groupBy("lang", "tri").count()
+      .toDF("lang", "doc_id", "tri", "cnt")
+    val profiles = tri.groupBy("lang", "tri").agg(sum(col("cnt")).as("c"))
       .withColumn("rnk", row_number().over(
         org.apache.spark.sql.expressions.Window.partitionBy("lang")
-          .orderBy(col("count").desc, col("tri"))))
+          .orderBy(col("c").desc, col("tri"))))
       .where(col("rnk") <= 50)
       .select(col("lang").as("profile_lang"), col("tri"))
-    val scored = tri.select(col("doc_id"), col("lang"), col("tri"))
+    val scored = tri.select(col("doc_id"), col("lang"), col("tri"), col("cnt"))
       .join(broadcast(profiles), Seq("tri"))
-      .groupBy("doc_id", "lang", "profile_lang").count()
+      .groupBy("doc_id", "lang", "profile_lang").agg(sum(col("cnt")).as("c"))
       .withColumn("rnk", row_number().over(
         org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
-          .orderBy(col("count").desc, col("profile_lang"))))
+          .orderBy(col("c").desc, col("profile_lang"))))
       .where(col("rnk") === 1)
     scored.groupBy(col("lang"), col("profile_lang").as("guessed"))
       .agg(count(lit(1)).as("docs"))
