@@ -51,6 +51,7 @@ object SparkEntry {
     "q_csv_roundtrip" -> (FormatQueries.csvRoundtripAgg _),
     "q_yaml_roundtrip" -> (FormatQueries.yamlRoundtripAgg _),
     "q_avro_roundtrip" -> (FormatQueries.avroRoundtripAgg _),
+    "q_excel_roundtrip" -> (FormatQueries.excelRoundtripAgg _),
     "q_infer_schema" -> (FormatQueries.inferredSchema _)
   )
 
@@ -108,6 +109,9 @@ object SparkEntry {
       """SELECT lang, CAST(sum(len(text)) AS BIGINT) AS chars,
         |  CAST(sum(len(regexp_replace(text, '[^a-zA-Z]', '', 'g'))) AS BIGINT) AS alpha_chars,
         |  CAST(sum(len(text) - len(replace(text, ' ', ''))) AS BIGINT) AS space_chars
+        |FROM documents GROUP BY lang""".stripMargin,
+    "q_excel_roundtrip" ->
+      """SELECT lang, count(*) AS cnt, CAST(sum(n_chars) AS BIGINT) AS total_chars
         |FROM documents GROUP BY lang""".stripMargin,
     "q_quality_score" -> OracleSql.qualityScore,
     "q_ngram_jaccard" -> OracleSql.ngramJaccard(DedupQueries.ShingleDocFreqCap),

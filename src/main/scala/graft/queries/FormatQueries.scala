@@ -45,6 +45,20 @@ object FormatQueries {
       .agg(count(lit(1)).as("cnt"), sum(col("n_chars")).cast("long").as("total_chars"))
   }
 
+  /** documents → xlsx (distributed, one workbook per partition) → read →
+    * per-lang aggregates. Numeric cells come back as doubles (Excel cells
+    * are IEEE doubles), so counts/sums are re-integerized for the oracle.
+    */
+  def excelRoundtripAgg(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-q-excel").toString
+    val docs = load(spark, sfDir, "documents")
+    Excel.write(docs, s"$dir/xlsx", Excel.ExcelWriteOptions(sheetTitle = "documents"))
+    Excel.read(spark, s"$dir/xlsx")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("cnt"),
+        round(sum(col("n_chars"))).cast("long").as("total_chars"))
+  }
+
   /** inferred schema of the CSV projection of documents (rows-only) */
   def inferredSchema(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
