@@ -48,7 +48,7 @@ object Fsst extends Codec {
     * match test is one masked compare of the 8 cursor bytes (one VarHandle
     * read per position). 256 buckets keep the structure cache-resident.
     */
-  private final class Table(val symbols: Array[Array[Byte]]) {
+  final class Table(val symbols: Array[Array[Byte]]) {
     // per first byte: [mask, prefix, (code<<8 | len)]* sorted len desc
     private val buckets: Array[Array[Long]] = {
       val tmp = Array.fill(256)(List.empty[Int])
@@ -182,9 +182,17 @@ object Fsst extends Codec {
 
   // ---- codec -------------------------------------------------------------
 
-  def encode(values: Array[Array[Byte]]): (Array[Byte], Array[Byte]) = {
-    val symbols = train(values)
-    val table = new Table(symbols)
+  def encode(values: Array[Array[Byte]]): (Array[Byte], Array[Byte]) =
+    encodeWithTable(new Table(train(values)), values)
+
+  /** Encode with a PRE-TRAINED table — the partition encoder trains once
+    * per (partition, column) on the first block and reuses the table for
+    * every later block of that column, removing training from the hot path.
+    * Bit-identity is unaffected: the table is still stored in each block's
+    * meta, so decode never depends on where the table came from.
+    */
+  def encodeWithTable(table: Table, values: Array[Array[Byte]]): (Array[Byte], Array[Byte]) = {
+    val symbols = table.symbols
 
     val meta = new ByteWriter(1024)
     meta.writeByte(symbols.length)

@@ -30,7 +30,9 @@ object BlockCodec {
       blockIdx: Int,
       values: Array[Array[Byte]],
       preferred: Codec,
-      zstdLevel: Int = 3): EncodedBlock = {
+      zstdLevel: Int = 3,
+      /** pre-trained per-(partition,column) FSST table; null → train per block */
+      fsstTable: Fsst.Table = null): EncodedBlock = {
     val n = values.length
     var nulls = 0
     var rawBytes = 0L
@@ -51,7 +53,9 @@ object BlockCodec {
       }
 
     val codec = if (preferred.accepts(nonNull)) preferred else PlainCodec
-    val (meta, payload) = codec.encode(nonNull)
+    val (meta, payload) =
+      if (fsstTable != null && (codec eq Fsst)) Fsst.encodeWithTable(fsstTable, nonNull)
+      else codec.encode(nonNull)
 
     val w = new ByteWriter(meta.length + payload.length + n / 8 + 16)
     w.writeByte(if (nulls > 0) 1 else 0)

@@ -191,7 +191,9 @@ object Checkpoint {
       cfg: Encoder.EncodeConfig): String = {
     val md = java.security.MessageDigest.getInstance("SHA-256")
     val s = s"$inputFingerprint|${cols.mkString(",")}|${sortKeys.mkString(",")}|" +
-      s"${cfg.numPartitions}|${cfg.blockRows}|${cfg.blockBytes}|${cfg.skewFactor}|${cfg.zstdLevel}|v1"
+      // v2: per-partition FSST table reuse changes encoded bytes — old
+      // manifests must not mix with new blocks
+      s"${cfg.numPartitions}|${cfg.blockRows}|${cfg.blockBytes}|${cfg.skewFactor}|${cfg.zstdLevel}|v2"
     md.digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
   }
 }

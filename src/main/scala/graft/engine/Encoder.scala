@@ -150,6 +150,10 @@ object Encoder {
     private val pending = scala.collection.mutable.Queue.empty[EncodedBlock]
     private var blockIdx = 0
     private var plan: Array[Codec] = null
+    // per-column FSST table trained ONCE on the partition's first block and
+    // reused for every later block (training is the encode hot-path cost;
+    // the sorted partition keeps content locality so the table stays apt)
+    private var fsstTables: Array[graft.codec.Fsst.Table] = null
 
     override def hasNext: Boolean = pending.nonEmpty || rows.hasNext
 
@@ -180,11 +184,20 @@ object Encoder {
         plan = Array.tabulate(nCols) { c =>
           CodecSelector.select(BlockStats.compute(colNames(c), partId, arrays(c)))
         }
+        fsstTables = new Array[graft.codec.Fsst.Table](nCols)
+        var c = 0
+        while (c < nCols) {
+          if (plan(c) eq graft.codec.Fsst)
+            fsstTables(c) = new graft.codec.Fsst.Table(
+              graft.codec.Fsst.train(arrays(c).filter(_ != null)))
+          c += 1
+        }
       }
       var c = 0
       while (c < nCols) {
         pending += BlockCodec.encodeBlock(
-          colNames(c), partId, blockIdx, arrays(c), plan(c), cfg.zstdLevel)
+          colNames(c), partId, blockIdx, arrays(c), plan(c), cfg.zstdLevel,
+          fsstTables(c))
         c += 1
       }
       blockIdx += 1

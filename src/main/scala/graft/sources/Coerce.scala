@@ -25,9 +25,40 @@ object Coerce {
       falseValues: Seq[String] = FalseValues,
       dateFormat: String = "yyyy-MM-dd", // :70
       timestampFormat: String = "yyyy-MM-dd'T'HH:mm[:ss][.SSS][XXX]", // :78-93
+      timeFormat: String = "HH:mm[:ss][.SSSSSS][.SSS]", // :72-76 timeFormatter
       decimalSeparator: Char = '.', // :286-292
       /** ERROR → plain cast (job fails on bad cell); SKIP/WARN → try-variant (null) */
       strict: Boolean = true)
+
+  // ---- logical-type annotations (ride on StructField metadata, the same
+  // way spark-avro records Avro logical types) --------------------------
+  val LogicalKey = "graft.logical"
+  val EnumSymbolsKey = "graft.enum.symbols"
+  val FixedSizeKey = "graft.fixed.size"
+
+  /** field carrying logicalType `uuid` (string, canonical lowercase) */
+  def uuidField(name: String): StructField =
+    StructField(name, StringType, nullable = true,
+      new MetadataBuilder().putString(LogicalKey, "uuid").build())
+
+  /** Avro `time-millis` (int millis-of-day) / `time-micros` (long micros) */
+  def timeField(name: String, micros: Boolean): StructField =
+    StructField(name, LongType, nullable = true,
+      new MetadataBuilder()
+        .putString(LogicalKey, if (micros) "time-micros" else "time-millis")
+        .build())
+
+  /** Avro enum: closed symbol set with membership check (:503-512) */
+  def enumField(name: String, symbols: Seq[String]): StructField =
+    StructField(name, StringType, nullable = true,
+      new MetadataBuilder().putString(LogicalKey, "enum")
+        .putStringArray(EnumSymbolsKey, symbols.toArray).build())
+
+  /** Avro fixed(n): binary with exact length check (:471-483) */
+  def fixedField(name: String, size: Int): StructField =
+    StructField(name, BinaryType, nullable = true,
+      new MetadataBuilder().putString(LogicalKey, "fixed")
+        .putLong(FixedSizeKey, size.toLong).build())
 
   /** nullValues normalization: any listed literal becomes NULL (:514-522) */
   def nullified(c: Column, opts: CoerceOptions): Column =
@@ -53,23 +84,125 @@ object Coerce {
       case d: DecimalType => castOr(c, s"decimal(${d.precision},${d.scale})")
       case DateType => to_date(c, opts.dateFormat)
       case TimestampType => to_timestamp(c, opts.timestampFormat)
+      // Avro local-timestamp (no zone) ≙ AvroConverter.java:246-249
+      case TimestampNTZType => to_timestamp_ntz(c, lit(opts.timestampFormat))
       case StringType => c
       case BinaryType => c.cast("binary")
       case other => throw new IllegalArgumentException(s"unsupported coercion target $other")
     }
   }
 
+  /** a logical-typed field (see the *Field builders): validation + canonical
+    * form, errors surfaced per `strict` exactly like the cast path
+    */
+  def logicalCell(c0: Column, field: StructField, opts: CoerceOptions): Column = {
+    val c = nullified(c0.cast("string"), opts)
+    def orFail(cond: Column, value: Column, what: String): Column = {
+      val bad =
+        if (opts.strict)
+          raise_error(concat(lit(s"invalid $what value: "), coalesce(c, lit("null"))))
+        else lit(null)
+      when(c.isNull, lit(null)).when(cond, value).otherwise(bad)
+    }
+    field.metadata.getString(LogicalKey) match {
+      case "uuid" => // ≙ logicalUuid (:321-327): parse-validate, canonical lc
+        val re = "^[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}$"
+        orFail(c.rlike(re), lower(c), "uuid")
+      case "enum" => // ≙ complexEnum (:503-512): closed symbol membership
+        val symbols = field.metadata.getStringArray(EnumSymbolsKey).toSeq
+        orFail(c.isin(symbols.map(lit): _*), c, "enum")
+      case "fixed" => // ≙ complexFixed (:471-483): exact byte length
+        val n = field.metadata.getLong(FixedSizeKey)
+        val b = c0.cast("binary")
+        when(c0.isNull, lit(null))
+          .when(length(b) === n, b)
+          .otherwise(if (opts.strict)
+            raise_error(concat(lit(s"invalid fixed($n) length: "), length(b).cast("string")))
+          else lit(null))
+      case t @ ("time-millis" | "time-micros") =>
+        // ≙ logicalTimeMillis/Micros (:354-376): LocalTime semantics — a
+        // trailing zone offset is accepted and DROPPED (ISO_TIME parse).
+        // Lax mode parses via try_to_timestamp (ANSI to_timestamp throws);
+        // hour()/minute() extraction is session-tz-symmetric with the parse.
+        val noZone = regexp_replace(c, "(Z|[+-]\\d{2}:?\\d{2})$", "")
+        val full = concat(lit("1970-01-01 "), noZone)
+        val fmt = "yyyy-MM-dd " + opts.timeFormat
+        val ts = if (opts.strict) to_timestamp(full, fmt)
+                 else try_to_timestamp(full, lit(fmt))
+        val micros = hour(ts).cast("long") * 3600000000L +
+          minute(ts).cast("long") * 60000000L +
+          (date_part(lit("SECOND"), ts) * 1000000).cast("long")
+        val v = if (t == "time-micros") micros else (micros / 1000).cast("long")
+        orFail(ts.isNotNull, v, t)
+      case other =>
+        throw new IllegalArgumentException(s"unknown logical type $other")
+    }
+  }
+
+  /** union try-each ≙ complexUnion (:444-456): first target that converts
+    * wins per VALUE; the column's result type is the merge-lattice join of
+    * the members (each attempt is explicitly cast there, so coalesce never
+    * inserts its own possibly-failing implicit casts)
+    */
+  def cellUnion(c: Column, targets: Seq[DataType], opts: CoerceOptions = CoerceOptions()): Column = {
+    val lax = opts.copy(strict = false)
+    val unified = targets.reduceLeft(InferSchema.merge)
+    val attempts = targets.map(t => cell(c, t, lax).cast(unified))
+    coalesce(attempts: _*)
+  }
+
   private def try_cast(c: Column, t: String): Column = c.try_cast(t)
+
+  /** typed-source coercion: recurse through struct/array/map shapes (the
+    * JSON/XML/YAML sources produce nested frames), apply the string algebra
+    * at string leaves, plain-cast already-typed leaves.
+    * ≙ AvroConverter complexArray/complexMap/fromMap recursion (:444-501).
+    */
+  def cellTyped(c: Column, src: DataType, target: DataType, opts: CoerceOptions): Column =
+    (src, target) match {
+      case (s: StructType, t: StructType) =>
+        val present = s.fieldNames.toSet
+        val rebuilt = struct(t.fields.map { f =>
+          if (present(f.name))
+            cellTyped(c.getField(f.name), s(f.name).dataType, f.dataType, opts).as(f.name)
+          else lit(null).cast(f.dataType).as(f.name)
+        }.toIndexedSeq: _*)
+        when(c.isNull, lit(null).cast(t)).otherwise(rebuilt)
+      case (ArrayType(se, _), ArrayType(te, _)) =>
+        transform(c, x => cellTyped(x, se, te, opts))
+      case (MapType(_, sv, _), MapType(_, tv, _)) =>
+        map_from_arrays(
+          map_keys(c).cast("array<string>"),
+          transform(map_values(c), x => cellTyped(x, sv, tv, opts)))
+      // JSON-style sources infer {"k": v} objects as structs; a MAP target
+      // re-keys the struct fields (≙ complexMap :485-501)
+      case (s: StructType, MapType(_, tv, _)) =>
+        if (s.fields.isEmpty) lit(null).cast(MapType(StringType, tv))
+        else {
+          val keys = array(s.fieldNames.map(lit).toIndexedSeq: _*)
+          val vals = array(s.fields.map(f =>
+            cellTyped(c.getField(f.name), f.dataType, tv, opts)).toIndexedSeq: _*)
+          when(c.isNull, lit(null).cast(MapType(StringType, tv)))
+            .otherwise(map_from_arrays(keys, vals))
+        }
+      case (StringType, t) => cell(c, t, opts)
+      case (_, t) =>
+        if (opts.strict) c.cast(t) else c.try_cast(t.catalogString)
+    }
 
   /** whole-frame coercion ≙ AvroConverter.fromMap (:147-195): field-by-field
     * convert with missing columns → null (the reference's alias fallback
-    * reduces to column lookup here)
+    * reduces to column lookup here). Nested struct/array/map fields recurse;
+    * logical-typed fields (metadata) go through logicalCell.
     */
   def frame(df: DataFrame, target: StructType, opts: CoerceOptions = CoerceOptions()): DataFrame = {
-    val present = df.columns.toSet
+    val src = df.schema
+    val present = src.fieldNames.toSet
     df.select(target.fields.map { f =>
-      if (present(f.name)) cell(col(f.name), f.dataType, opts).as(f.name)
-      else lit(null).cast(f.dataType).as(f.name)
+      if (!present(f.name)) lit(null).cast(f.dataType).as(f.name)
+      else if (f.metadata.contains(LogicalKey))
+        logicalCell(col(f.name), f, opts).as(f.name)
+      else cellTyped(col(f.name), src(f.name).dataType, f.dataType, opts).as(f.name)
     }.toIndexedSeq: _*)
   }
 

@@ -87,6 +87,7 @@ object Csv {
   sealed trait QuoteMode
   case object QuoteAlways extends QuoteMode
   case object QuoteRequired extends QuoteMode
+  case object QuoteNonNumeric extends QuoteMode
 
   final case class CsvWriteOptions(
       header: Boolean = true,
@@ -97,7 +98,8 @@ object Csv {
       nullValue: String = "")
 
   def write(df: DataFrame, path: String, opts: CsvWriteOptions = CsvWriteOptions()): Unit =
-    df.write
+    if (opts.quoteMode == QuoteNonNumeric) writeNonNumeric(df, path, opts)
+    else df.write
       .option("header", opts.header)
       .option("sep", opts.fieldSeparator)
       .option("quote", opts.textDelimiter)
@@ -107,4 +109,35 @@ object Csv {
       .option("emptyValue", "\"\"")
       .mode("overwrite")
       .csv(path)
+
+  /** NON_NUMERIC strategy ≙ csv/IonToCsv.java:287-317: a VALUE is left
+    * unquoted iff it is numeric (optional sign, digits, ≤1 decimal point —
+    * per-value, not per-column-type). Spark's CSV writer has no per-value
+    * quote strategy, so the line is assembled as a codegen'd expression and
+    * written as text (header prepended per file, matching csv writer files).
+    */
+  private def writeNonNumeric(df: DataFrame, path: String, opts: CsvWriteOptions): Unit = {
+    import df.sparkSession.implicits._
+    val q = opts.textDelimiter
+    // sign then ≥1 char, digits with at most one '.' (the reference's loop
+    // accepts "1.", ".5" and even "." — mirrored by the structure below)
+    val numericRe = "^[+-]?(?=[0-9.])[0-9]*\\.?[0-9]*$"
+    val cells = df.schema.fields.map { f =>
+      val s = col(f.name).cast("string")
+      val quoted = concat(lit(q), replace(s, lit(q), lit(q + q)), lit(q))
+      when(s.isNull, lit(opts.nullValue))
+        .when(s.rlike(numericRe), s)
+        .otherwise(quoted)
+    }
+    val line = concat_ws(opts.fieldSeparator, cells.toIndexedSeq: _*)
+    val headerLine = df.columns
+      .map(c => q + c.replace(q, q + q) + q)
+      .mkString(opts.fieldSeparator)
+    val lines = df.select(line.as("value")).as[String]
+    val withHeader =
+      if (!opts.header) lines
+      else lines.mapPartitions(it =>
+        if (it.hasNext) Iterator(headerLine) ++ it else it)
+    withHeader.write.mode("overwrite").text(path)
+  }
 }

@@ -39,7 +39,9 @@ object InferSchema {
   }
 
   /** merge ≙ InferAvroSchema.mergeTypes (:201-271): equal → same; numeric
-    * widening int<long<double; anything else → string (the union analog)
+    * widening int<long<double; struct/array/map merge recursively
+    * (field-union, like the reference's record merge :243-271); anything
+    * else → string (the union analog)
     */
   private[sources] def merge(a: DataType, b: DataType): DataType = (a, b) match {
     case (x, y) if x == y => x
@@ -49,7 +51,62 @@ object InferSchema {
     case (IntegerType, DoubleType) | (DoubleType, IntegerType) => DoubleType
     case (LongType, DoubleType) | (DoubleType, LongType) => DoubleType
     case (DateType, TimestampType) | (TimestampType, DateType) => TimestampType
+    case (x: StructType, y: StructType) =>
+      val yf = y.fields.map(f => f.name -> f.dataType).toMap
+      val merged = x.fields.map { f =>
+        StructField(f.name, merge(f.dataType, yf.getOrElse(f.name, NullType)),
+          nullable = true)
+      } ++ y.fields.filterNot(f => x.fieldNames.contains(f.name))
+        .map(f => StructField(f.name, f.dataType, nullable = true))
+      StructType(merged)
+    case (ArrayType(xe, _), ArrayType(ye, _)) =>
+      ArrayType(merge(xe, ye), containsNull = true)
+    case (MapType(_, xv, _), MapType(_, yv, _)) =>
+      MapType(StringType, merge(xv, yv), valueContainsNull = true)
     case _ => StringType
+  }
+
+  /** recursive per-value inference for typed (JSON/XML/YAML-shaped) frames:
+    * string leaves get the classify() refinement, nested values recurse
+    * ≙ InferAvroSchema.inferField (:114-199)
+    */
+  private[sources] def inferValue(v: Any, opts: Coerce.CoerceOptions): DataType = v match {
+    case null => NullType
+    case s: String => classify(s, opts)
+    case _: java.lang.Integer => IntegerType
+    case _: java.lang.Long => LongType
+    case _: java.lang.Double | _: java.lang.Float => DoubleType
+    case _: java.lang.Boolean => BooleanType
+    case _: java.math.BigDecimal => DoubleType
+    case _: java.sql.Date | _: java.time.LocalDate => DateType
+    case _: java.sql.Timestamp | _: java.time.Instant => TimestampType
+    case _: Array[Byte] => BinaryType
+    // NullType flows through nested inference so cross-row merges can still
+    // refine (null-in-one-row ∪ bool-in-another = bool); nonNull() cleans
+    // the final schema once at the top of infer()
+    case r: org.apache.spark.sql.Row =>
+      StructType(r.schema.fields.zipWithIndex.map { case (f, i) =>
+        StructField(f.name,
+          inferValue(if (r.isNullAt(i)) null else r.get(i), opts),
+          nullable = true)
+      })
+    case seq: scala.collection.Seq[_] =>
+      ArrayType(seq.iterator.map(inferValue(_, opts))
+        .foldLeft(NullType: DataType)(merge), containsNull = true)
+    case m: scala.collection.Map[_, _] =>
+      MapType(StringType, m.valuesIterator.map(inferValue(_, opts))
+        .foldLeft(NullType: DataType)(merge), valueContainsNull = true)
+    case _ => StringType
+  }
+
+  /** NullType never escapes inference (all-null → string, like the ref) */
+  private def nonNull(t: DataType): DataType = t match {
+    case NullType => StringType
+    case s: StructType =>
+      StructType(s.fields.map(f => f.copy(dataType = nonNull(f.dataType))))
+    case ArrayType(e, _) => ArrayType(nonNull(e), containsNull = true)
+    case MapType(k, v, _) => MapType(k, nonNull(v), valueContainsNull = true)
+    case other => other
   }
 
   /** infer a StructType for an all-string frame from the first N rows;
@@ -61,9 +118,9 @@ object InferSchema {
     val sample = df.limit(rowsToScan).collect()
     val merged = cols.zipWithIndex.map { case (c, i) =>
       val t = sample.iterator
-        .map(r => classify(if (r.isNullAt(i)) null else String.valueOf(r.get(i)), opts))
+        .map(r => inferValue(if (r.isNullAt(i)) null else r.get(i), opts))
         .foldLeft(NullType: DataType)(merge)
-      StructField(c, if (t == NullType) StringType else t, nullable = true)
+      StructField(c, nonNull(t), nullable = true)
     }
     StructType(merged)
   }

@@ -83,6 +83,34 @@ object Markdown {
   }
 
   // ---- html → markdown (inverse of the core constructs) ----
+
+  /** `ignoreTags`: whole elements (incl. content) dropped before conversion;
+    * `baseUri`: relative href/src attributes resolved absolute
+    * (≙ reference HtmlToMarkdown.java:108-176 jsoup pre-processing)
+    */
+  def htmlToMarkdown(html: String, ignoreTags: Seq[String], baseUri: String): String = {
+    var s = html
+    for (tag <- ignoreTags) {
+      val t = java.util.regex.Pattern.quote(tag.toLowerCase)
+      s = s.replaceAll(s"(?is)<$t\\b[^>]*/>", "")
+      s = s.replaceAll(s"(?is)<$t\\b[^>]*>.*?</$t>", "")
+    }
+    if (baseUri != null && baseUri.nonEmpty) {
+      val base = java.net.URI.create(baseUri)
+      val attr = "(?is)\\b(href|src)=\"([^\"]*)\"".r
+      s = attr.replaceAllIn(s, m => {
+        val (k, v) = (m.group(1), m.group(2))
+        val resolved =
+          try {
+            val u = java.net.URI.create(v)
+            if (u.isAbsolute || v.isEmpty) v else base.resolve(u).toString
+          } catch { case _: Throwable => v }
+        java.util.regex.Matcher.quoteReplacement(s"""$k="$resolved"""")
+      })
+    }
+    htmlToMarkdown(s)
+  }
+
   def htmlToMarkdown(html: String): String = {
     var s = html
     s = s.replaceAll("(?s)<script.*?</script>|(?s)<style.*?</style>", "")

@@ -12,17 +12,22 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object Xml {
 
   /** one row per element whose path matches `query` (e.g. "/catalog/book");
-    * empty query → the document root itself (one row per file)
+    * empty query → the document root itself (one row per file).
+    * `forceList` names elements that must ALWAYS parse as arrays, even with
+    * a single child — without it the shape flips between struct and array
+    * by data (≙ reference parserConfiguration.forceList, XmlToIon.java:420)
     */
-  def read(spark: SparkSession, path: String, query: String = ""): DataFrame = {
+  def read(spark: SparkSession, path: String, query: String = "",
+      forceList: Set[String] = Set.empty): DataFrame = {
     import spark.implicits._
     val jsonRows = spark.read.option("wholetext", true).text(path)
       .as[String]
-      .flatMap(whole => extractJson(whole, query))
+      .flatMap(whole => extractJson(whole, query, forceList))
     spark.read.json(jsonRows)
   }
 
-  private[sources] def extractJson(xml: String, query: String): Seq[String] = {
+  private[sources] def extractJson(xml: String, query: String,
+      forceList: Set[String] = Set.empty): Seq[String] = {
     val factory = XMLInputFactory.newInstance()
     // XXE disabled, like the reference (xml/XmlToIon.java:208-210)
     factory.setProperty(XMLInputFactory.IS_SUPPORTING_EXTERNAL_ENTITIES, false)
@@ -41,7 +46,7 @@ object Xml {
             if (wanted.isEmpty) stack.length == 1
             else stack.toList == wanted
           if (matches) {
-            val node = readElement(reader, mapper)
+            val node = readElement(reader, mapper, forceList)
             out += mapper.writeValueAsString(node)
             stack.remove(stack.length - 1) // readElement consumed END_ELEMENT
           }
@@ -59,7 +64,8 @@ object Xml {
     */
   private def readElement(
       reader: XMLStreamReader,
-      mapper: com.fasterxml.jackson.databind.ObjectMapper): com.fasterxml.jackson.databind.JsonNode = {
+      mapper: com.fasterxml.jackson.databind.ObjectMapper,
+      forceList: Set[String] = Set.empty): com.fasterxml.jackson.databind.JsonNode = {
     val obj = mapper.createObjectNode()
     var a = 0
     while (a < reader.getAttributeCount) {
@@ -72,7 +78,7 @@ object Xml {
       reader.next() match {
         case XMLStreamConstants.START_ELEMENT =>
           val name = reader.getLocalName
-          val child = readElement(reader, mapper)
+          val child = readElement(reader, mapper, forceList)
           if (obj.has(name)) {
             obj.get(name) match {
               case arr: com.fasterxml.jackson.databind.node.ArrayNode => arr.add(child)
@@ -82,6 +88,12 @@ object Xml {
                 obj.set[com.fasterxml.jackson.databind.JsonNode](name, arr)
                 ()
             }
+          } else if (forceList(name)) {
+            // forced array: a single child still becomes [child]
+            val arr = mapper.createArrayNode()
+            arr.add(child)
+            obj.set[com.fasterxml.jackson.databind.JsonNode](name, arr)
+            ()
           } else {
             obj.set[com.fasterxml.jackson.databind.JsonNode](name, child)
           }

@@ -122,4 +122,113 @@ class CoerceSpec extends AnyFunSuite {
     assert(out.where(col("a").isNull).count() == 1)
     assert(out.schema == StructType(schema.fields.map(_.copy(nullable = true))))
   }
+
+  // ---- logical types ≙ avro/converter/Logical*Test + Complex{Enum,Fixed} --
+
+  test("uuid: valid parses canonical, invalid nulls when lenient, errors strict") {
+    val opts = Coerce.CoerceOptions(strict = false)
+    val target = StructType(Seq(Coerce.uuidField("c")))
+    val out = Coerce.frame(
+      strDf(Seq("F8AA8870-9E13-4F07-ACF0-4D4DF6D0E6E5", "not-a-uuid", "NA")),
+      target, opts).collect()
+    assert(out(0).getString(0) == "f8aa8870-9e13-4f07-acf0-4d4df6d0e6e5")
+    assert(out(1).isNullAt(0))
+    assert(out(2).isNullAt(0))
+    intercept[Exception] {
+      Coerce.frame(strDf(Seq("nope")), target).collect()
+    }
+  }
+
+  test("enum: closed symbol membership (reference ComplexEnumTest)") {
+    val target = StructType(Seq(Coerce.enumField("c", Seq("a", "ž", "c"))))
+    val ok = Coerce.frame(strDf(Seq("a", "ž")), target).collect()
+    assert(ok.map(_.getString(0)).toSeq == Seq("a", "ž"))
+    val lax = Coerce.frame(strDf(Seq("d")), target,
+      Coerce.CoerceOptions(strict = false)).collect()
+    assert(lax(0).isNullAt(0))
+    intercept[Exception] {
+      Coerce.frame(strDf(Seq("d")), target).collect()
+    }
+  }
+
+  test("fixed(n): exact byte length enforced (reference ComplexFixedTest)") {
+    val target = StructType(Seq(Coerce.fixedField("c", 4)))
+    val ok = Coerce.frame(strDf(Seq("abcd")), target).collect()
+    assert(ok(0).getAs[Array[Byte]](0).toSeq == "abcd".getBytes("UTF-8").toSeq)
+    val lax = Coerce.frame(strDf(Seq("abcde")), target,
+      Coerce.CoerceOptions(strict = false)).collect()
+    assert(lax(0).isNullAt(0))
+    intercept[Exception] {
+      Coerce.frame(strDf(Seq("ab")), target).collect()
+    }
+  }
+
+  test("time-millis/micros: LocalTime semantics incl. offset drop (LogicalTimeTest)") {
+    val lax = Coerce.CoerceOptions(strict = false)
+    def millis(values: Seq[String]): Seq[Any] =
+      Coerce.frame(strDf(values), StructType(Seq(Coerce.timeField("c", micros = false))), lax)
+        .collect().map(r => if (r.isNullAt(0)) null else r.getLong(0)).toSeq
+    // 12:13 → (12*3600+13*60)*1000; offsets are dropped like LocalTime.parse
+    assert(millis(Seq("12:13")) == Seq(43980000L))
+    assert(millis(Seq("12:13:11")) == Seq(43991000L))
+    assert(millis(Seq("12:13:11.123000")) == Seq(43991123L))
+    assert(millis(Seq("12:13:11+01:00")) == Seq(43991000L))
+    assert(millis(Seq("12:26:2019")) == Seq(null)) // reference failedSource
+    val micros = Coerce.frame(strDf(Seq("12:13:11.123000")),
+      StructType(Seq(Coerce.timeField("c", micros = true))), lax).collect()
+    assert(micros(0).getLong(0) == 43991123000L)
+  }
+
+  test("TimestampNTZ target (local-timestamp logical type)") {
+    val target = StructType(Seq(StructField("c", TimestampNTZType)))
+    val out = Coerce.frame(strDf(Seq("2024-03-05T10:15:30")), target).collect()
+    assert(out(0).getAs[java.time.LocalDateTime](0) ==
+      java.time.LocalDateTime.of(2024, 3, 5, 10, 15, 30))
+  }
+
+  test("union try-each: first successful target wins per value") {
+    val c = Coerce.cellUnion(col("c"), Seq(IntegerType, DoubleType, StringType))
+    val out = strDf(Seq("42", "3.5", "x", "NA")).select(c.as("c")).collect()
+    // coalesce unifies to the widest member (string here)
+    assert(out.map(r => if (r.isNullAt(0)) null else r.getString(0)).toSeq ==
+      Seq("42", "3.5", "x", null))
+  }
+
+  // ---- nested coercion + inference ≙ AvroConverter :444-501 / InferAvroSchema :114-199
+
+  test("nested struct/array/map coercion recurses to string leaves") {
+    val src = spark.read.json(spark.createDataset(Seq(
+      """{"rec":{"n":"1","tags":["2","3"],"kv":{"a":"4.5"}},"plain":"x"}""",
+      """{"rec":{"n":"NA","tags":[],"kv":{}},"plain":"y"}"""
+    ))(org.apache.spark.sql.Encoders.STRING))
+    val target = StructType(Seq(
+      StructField("rec", StructType(Seq(
+        StructField("n", IntegerType),
+        StructField("tags", ArrayType(LongType)),
+        StructField("kv", MapType(StringType, DoubleType)),
+        StructField("missing", StringType)))),
+      StructField("plain", StringType)))
+    val out = Coerce.frame(src, target).orderBy("plain").collect()
+    val r0 = out(0).getStruct(out(0).fieldIndex("rec"))
+    assert(r0.getInt(r0.fieldIndex("n")) == 1)
+    assert(r0.getSeq[Long](r0.fieldIndex("tags")) == Seq(2L, 3L))
+    assert(r0.getMap[String, Double](r0.fieldIndex("kv"))("a") == 4.5)
+    assert(r0.isNullAt(r0.fieldIndex("missing")))
+    val r1 = out(1).getStruct(out(1).fieldIndex("rec"))
+    assert(r1.isNullAt(r1.fieldIndex("n"))) // "NA" nullified inside the struct
+  }
+
+  test("nested inference: struct field-union merge, array element widening") {
+    val src = spark.read.json(spark.createDataset(Seq(
+      """{"rec":{"a":"1","b":"x"},"arr":["1","2"]}""",
+      """{"rec":{"a":"2.5","c":"true"},"arr":["3000000000"]}"""
+    ))(org.apache.spark.sql.Encoders.STRING))
+    val schema = InferSchema.infer(src)
+    val rec = schema("rec").dataType.asInstanceOf[StructType]
+    assert(rec("a").dataType == DoubleType) // int ∪ double
+    assert(rec("b").dataType == StringType)
+    assert(rec("c").dataType == BooleanType) // present in one row only
+    assert(schema("arr").dataType ==
+      ArrayType(LongType, containsNull = true)) // int ∪ long
+  }
 }

@@ -136,4 +136,45 @@ class FormatsSpec extends AnyFunSuite {
     assert(end.select("name").collect().map(_.getString(0)).toSet
       .contains("alice"))
   }
+
+  test("csv NON_NUMERIC quote mode quotes per value, not per type") {
+    import spark.implicits._
+    val df = Seq(("abc", "12.5", "1.2.3"), ("+7", "-", ".5"))
+      .toDF("a", "b", "c")
+    val dir = java.nio.file.Files.createTempDirectory("graft-csv-nn").toString
+    Csv.write(df.coalesce(1), s"$dir/csv",
+      Csv.CsvWriteOptions(quoteMode = Csv.QuoteNonNumeric))
+    val lines = spark.read.text(s"$dir/csv").collect().map(_.getString(0)).toSet
+    assert(lines.contains("\"a\",\"b\",\"c\"")) // header quoted (non-numeric)
+    assert(lines.contains("\"abc\",12.5,\"1.2.3\"")) // two dots → quoted
+    assert(lines.contains("+7,\"-\",.5")) // sign-only → quoted; ".5" numeric
+  }
+
+  test("xml forceList keeps single children as arrays") {
+    val xml =
+      """<catalog>
+        |  <book><title>One</title><tag>x</tag></book>
+        |  <book><title>Two</title><tag>x</tag><tag>y</tag></book>
+        |</catalog>""".stripMargin
+    val plain = Xml.extractJson(xml, "/catalog/book")
+    // without forceList the single-tag book is a plain string field
+    assert(plain.head.contains("\"tag\":\"x\""))
+    val forced = Xml.extractJson(xml, "/catalog/book", Set("tag"))
+    assert(forced.head.contains("\"tag\":[\"x\"]"))
+    assert(forced(1).contains("\"tag\":[\"x\",\"y\"]"))
+  }
+
+  test("htmlToMarkdown honors ignoreTags and baseUri") {
+    val html =
+      """<nav>skip me</nav><h1>Title</h1>
+        |<p>See <a href="/docs/page">docs</a> and
+        |<a href="https://other.example/x">abs</a>.</p>
+        |<img alt="pic" src="img/p.png"/>""".stripMargin
+    val md = Markdown.htmlToMarkdown(html,
+      ignoreTags = Seq("nav"), baseUri = "https://example.com/root/")
+    assert(!md.contains("skip me"))
+    assert(md.contains("[docs](https://example.com/docs/page)"))
+    assert(md.contains("[abs](https://other.example/x)")) // untouched
+    assert(md.contains("![pic](https://example.com/root/img/p.png)"))
+  }
 }

@@ -98,4 +98,129 @@ class MarkdownProtobufSpec extends AnyFunSuite {
     assert(df.count() == 3)
     assert(df.select("f2").collect().map(_.getString(0)).toSet == Set("msg1", "msg2", "msg3"))
   }
+
+  // ---- descriptor-set resolution (≙ ProtobufTools + typeName decode) ----
+
+  import graft.codec.ByteWriter
+
+  private def msgBytes(build: ByteWriter => Unit): Array[Byte] = {
+    val w = new ByteWriter(64)
+    build(w)
+    w.result()
+  }
+
+  private def vint(w: ByteWriter, field: Int, v: Long): Unit =
+    Protobuf.encodeVarintField(w, field, v)
+  private def s(w: ByteWriter, field: Int, v: String): Unit =
+    Protobuf.encodeStringField(w, field, v)
+  private def m(w: ByteWriter, field: Int, b: Array[Byte]): Unit =
+    Protobuf.encodeMessageField(w, field, b)
+
+  /** FieldDescriptorProto {1:name 3:number 4:label 5:type 6:type_name} */
+  private def fieldDesc(name: String, number: Int, label: Int, tpe: Int,
+      typeName: String = ""): Array[Byte] = msgBytes { w =>
+    s(w, 1, name); vint(w, 3, number); vint(w, 4, label); vint(w, 5, tpe)
+    if (typeName.nonEmpty) s(w, 6, typeName)
+  }
+
+  /** hand-assembled addressbook-style descriptor set: test.Person with a
+    * nested PhoneNumber message and PhoneType enum (descriptor.proto is
+    * public; the set is itself a protobuf message → decoder bootstraps it)
+    */
+  private def personDescriptorSet: Array[Byte] = {
+    val phoneType = msgBytes { w => // EnumDescriptorProto
+      s(w, 1, "PhoneType")
+      m(w, 2, msgBytes { v => s(v, 1, "MOBILE"); vint(v, 2, 0) })
+      m(w, 2, msgBytes { v => s(v, 1, "HOME"); vint(v, 2, 1) })
+      m(w, 2, msgBytes { v => s(v, 1, "WORK"); vint(v, 2, 2) })
+    }
+    val phoneNumber = msgBytes { w => // DescriptorProto
+      s(w, 1, "PhoneNumber")
+      m(w, 2, fieldDesc("number", 1, 1, 9))
+      m(w, 2, fieldDesc("ptype", 2, 1, 14, ".test.Person.PhoneType"))
+    }
+    val person = msgBytes { w =>
+      s(w, 1, "Person")
+      m(w, 2, fieldDesc("name", 1, 1, 9))
+      m(w, 2, fieldDesc("id", 2, 1, 5))
+      m(w, 2, fieldDesc("email", 3, 1, 9))
+      m(w, 2, fieldDesc("phones", 4, 3, 11, ".test.Person.PhoneNumber"))
+      m(w, 2, fieldDesc("scores", 5, 3, 17)) // repeated sint32
+      m(w, 2, fieldDesc("ratio", 6, 1, 1)) // double
+      m(w, 2, fieldDesc("active", 7, 1, 8)) // bool
+      m(w, 3, phoneNumber)
+      m(w, 4, phoneType)
+    }
+    val fileProto = msgBytes { w =>
+      s(w, 1, "test.proto"); s(w, 2, "test"); m(w, 4, person)
+    }
+    msgBytes(w => m(w, 1, fileProto)) // FileDescriptorSet
+  }
+
+  private def zigzag32(v: Int): Long = ((v << 1) ^ (v >> 31)).toLong & 0xffffffffL
+
+  private def personMessage: Array[Byte] = msgBytes { w =>
+    s(w, 1, "Alice")
+    vint(w, 2, 123)
+    s(w, 3, "alice@example.com")
+    m(w, 4, msgBytes { p => s(p, 1, "555-1234"); vint(p, 2, 1) }) // HOME
+    m(w, 4, msgBytes { p => s(p, 1, "555-9876"); vint(p, 2, 2) }) // WORK
+    vint(w, 5, zigzag32(-3))
+    vint(w, 5, zigzag32(7))
+    // ratio = 2.5 (double, wire type 1, little-endian bits)
+    w.writeVarLong((6L << 3) | 1)
+    val bits = java.lang.Double.doubleToLongBits(2.5)
+    for (k <- 0 until 8) w.writeByte(((bits >>> (8 * k)) & 0xff).toInt)
+    vint(w, 7, 1) // active = true
+  }
+
+  test("descriptor set parses and resolves nested types by full name") {
+    val reg = Descriptors.parseFileDescriptorSet(personDescriptorSet)
+    assert(reg.messages.keySet ==
+      Set("test.Person", "test.Person.PhoneNumber"))
+    assert(reg.enums.keySet == Set("test.Person.PhoneType"))
+    assert(Descriptors.find(reg, ".test.Person").isDefined)
+    assert(Descriptors.find(reg, "test.Person.PhoneNumber").isDefined)
+    val person = Descriptors.find(reg, "test.Person").get
+    assert(person.fields.map(_.name) ==
+      Seq("name", "id", "email", "phones", "scores", "ratio", "active"))
+  }
+
+  test("descriptor-driven decode: real names, enums, sints, doubles") {
+    val reg = Descriptors.parseFileDescriptorSet(personDescriptorSet)
+    val desc = Descriptors.find(reg, "test.Person").get
+    val node = Protobuf.decodeWithDescriptor(personMessage, desc, reg)
+    assert(node.get("name").asText() == "Alice")
+    assert(node.get("id").asInt() == 123)
+    assert(node.get("phones").size() == 2)
+    assert(node.get("phones").get(0).get("number").asText() == "555-1234")
+    assert(node.get("phones").get(0).get("ptype").asText() == "HOME")
+    assert(node.get("phones").get(1).get("ptype").asText() == "WORK")
+    assert(node.get("scores").get(0).asInt() == -3) // zigzag decoded
+    assert(node.get("scores").get(1).asInt() == 7)
+    assert(node.get("ratio").asDouble() == 2.5)
+    assert(node.get("active").asBoolean())
+  }
+
+  test("delimited stream with descriptor reads named columns via Spark") {
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[2]").appName("graft-proto-desc-spec")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val dir = java.nio.file.Files.createTempDirectory("graft-proto-desc")
+    val w = new ByteWriter(256)
+    val one = personMessage
+    w.writeVarInt(one.length); w.writeBytes(one)
+    w.writeVarInt(one.length); w.writeBytes(one)
+    java.nio.file.Files.write(dir.resolve("people.bin"), w.result())
+    val df = Protobuf.readDelimitedWithDescriptor(
+      spark, dir.toString, personDescriptorSet, "test.Person")
+    assert(df.count() == 2)
+    assert(df.columns.sorted.toSeq ==
+      Seq("active", "email", "id", "name", "phones", "ratio", "scores"))
+    val r = df.head()
+    assert(r.getAs[String]("name") == "Alice")
+    assert(r.getAs[Seq[org.apache.spark.sql.Row]]("phones")
+      .map(_.getAs[String]("ptype")).toSet == Set("HOME", "WORK"))
+  }
 }
