@@ -110,7 +110,10 @@ object DictCodec extends Codec {
     }
   }
 
-  def encode(values: Array[Array[Byte]]): (Array[Byte], Array[Byte]) = {
+  /** sorted-dict construction shared with DictRleCodec:
+    * @return (meta bytes = varint n + entries, dict size, per-value index)
+    */
+  private[codec] def buildDict(values: Array[Array[Byte]]): (Array[Byte], Int, Array[Long]) = {
     // O(1) distinct via hashing, then one sort of the (small) dictionary
     val seen = new java.util.HashMap[Key, Key]()
     val keys = new Array[Key](values.length) // per-value interned key
@@ -137,25 +140,77 @@ object DictCodec extends Codec {
     val idx = new Array[Long](values.length)
     i = 0
     while (i < values.length) { idx(i) = keys(i).idx.toLong; i += 1 }
-    val w = BitPack.width(math.max(0, dict.length - 1).toLong)
-    val payload = new ByteWriter(BitPack.packedBytes(values.length, w) + 1)
-    payload.writeByte(w)
-    payload.writeBytes(BitPack.pack(idx, w))
-    (meta.result(), payload.result())
+    (meta.result(), dict.length, idx)
   }
 
-  def decode(meta: Array[Byte], payload: Array[Byte], count: Int): Array[Array[Byte]] = {
+  private[codec] def readDict(meta: Array[Byte]): Array[Array[Byte]] = {
     val m = new ByteReader(meta)
     val dictSize = m.readVarInt()
     val dict = new Array[Array[Byte]](dictSize)
     var k = 0
     while (k < dictSize) { dict(k) = m.readBytes(m.readVarInt()); k += 1 }
+    dict
+  }
+
+  def encode(values: Array[Array[Byte]]): (Array[Byte], Array[Byte]) = {
+    val (meta, dictLen, idx) = buildDict(values)
+    val w = BitPack.width(math.max(0, dictLen - 1).toLong)
+    val payload = new ByteWriter(BitPack.packedBytes(values.length, w) + 1)
+    payload.writeByte(w)
+    payload.writeBytes(BitPack.pack(idx, w))
+    (meta, payload.result())
+  }
+
+  def decode(meta: Array[Byte], payload: Array[Byte], count: Int): Array[Array[Byte]] = {
+    val dict = readDict(meta)
     val r = new ByteReader(payload)
     val w = r.readByte()
     val idx = BitPack.unpack(r.readBytes(r.remaining), w, count)
     val out = new Array[Array[Byte]](count)
     var i = 0
     while (i < count) { out(i) = dict(idx(i).toInt); i += 1 }
+    out
+  }
+}
+
+/** Dict+RLE hybrid: the DICTIONARY layout of DictCodec (meta is byte-for-
+  * byte the same, so block-skip `mayContain` probes work unchanged) with
+  * the index stream run-length encoded — (varint runLen, varint idx)*.
+  * Wins on low-ndv columns with run structure (sorted `lang`, `repo`):
+  * each distinct value is stored once in the dict AND each run costs ~2
+  * bytes, where plain RLE re-stores the value bytes per run and plain
+  * dict pays the packed index width per ROW.
+  */
+object DictRleCodec extends Codec {
+  val id: Byte = CodecId.DictRle
+
+  def encode(values: Array[Array[Byte]]): (Array[Byte], Array[Byte]) = {
+    val (meta, _, idx) = DictCodec.buildDict(values)
+    val w = new ByteWriter(1024)
+    var i = 0
+    while (i < values.length) {
+      val v = idx(i)
+      var j = i + 1
+      while (j < values.length && idx(j) == v) j += 1
+      w.writeVarInt(j - i)
+      w.writeVarLong(v)
+      i = j
+    }
+    (meta, w.result())
+  }
+
+  def decode(meta: Array[Byte], payload: Array[Byte], count: Int): Array[Array[Byte]] = {
+    val dict = DictCodec.readDict(meta)
+    val r = new ByteReader(payload)
+    val out = new Array[Array[Byte]](count)
+    var i = 0
+    while (i < count) {
+      val run = r.readVarInt()
+      val v = dict(r.readVarLong().toInt)
+      var k = 0
+      while (k < run) { out(i + k) = v; k += 1 }
+      i += run
+    }
     out
   }
 }
@@ -311,8 +366,9 @@ object HexPackCodec extends Codec {
 }
 
 object Codecs {
-  val all: Map[Byte, Codec] = Seq(PlainCodec, RleCodec, DictCodec, ForLongCodec, Fsst, HexPackCodec)
-    .map(c => c.id -> c).toMap
+  val all: Map[Byte, Codec] =
+    Seq(PlainCodec, RleCodec, DictCodec, ForLongCodec, Fsst, HexPackCodec, DictRleCodec)
+      .map(c => c.id -> c).toMap
 
   def apply(id: Byte): Codec =
     all.getOrElse(id, throw new IllegalArgumentException(s"unknown codec id $id"))

@@ -114,7 +114,9 @@ object BlockCodec {
     * This is the block-skipping analog of Parquet dictionary/stats pruning.
     */
   def mayContain(b: EncodedBlock, value: Array[Byte]): Boolean = {
-    if (b.codecId != graft.model.CodecId.Dict && b.codecId != graft.model.CodecId.ForLong)
+    if (b.codecId != graft.model.CodecId.Dict &&
+        b.codecId != graft.model.CodecId.DictRle &&
+        b.codecId != graft.model.CodecId.ForLong)
       return true
     val container = Wrap.decompress(b.wrapId, b.data)
     val r = new ByteReader(container)
@@ -122,7 +124,8 @@ object BlockCodec {
     if ((flags & 1) != 0) r.skip((b.rowCount + 7) / 8)
     val meta = r.readBytes(r.readVarInt())
     b.codecId match {
-      case graft.model.CodecId.Dict =>
+      // DictRle shares the Dict meta layout byte-for-byte
+      case graft.model.CodecId.Dict | graft.model.CodecId.DictRle =>
         val m = new ByteReader(meta)
         val n = m.readVarInt()
         // sorted dictionary → early exit once past the probe

@@ -94,6 +94,7 @@ object CodecId {
   val ForLong: Byte = 3
   val Fsst: Byte = 4
   val HexPack: Byte = 5
+  val DictRle: Byte = 6
 
   def name(id: Byte): String = id match {
     case Plain => "plain"
@@ -102,6 +103,7 @@ object CodecId {
     case ForLong => "for"
     case Fsst => "fsst"
     case HexPack => "hex"
+    case DictRle => "dictrle"
     case other => s"unknown($other)"
   }
 }

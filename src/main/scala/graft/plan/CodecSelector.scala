@@ -26,9 +26,16 @@ object CodecSelector {
 
     if (s.allLongCanonical && rangePackable(s.minLong, s.maxLong)) return ForLongCodec
 
+    val dictOk = s.ndvIsExact && s.ndv > 0 && s.ndv <= (1 << 16) && dictProfitable(s)
+
+    // low-ndv + run structure → dict with RLE'd indices: each distinct
+    // value stored once, each run ~2 bytes (plain RLE re-stores the value
+    // bytes per run; plain dict pays the index width per row)
+    if (dictOk && s.avgRun >= 2.0) return DictRleCodec
+
     if (s.avgRun >= 4.0) return RleCodec
 
-    if (s.ndvIsExact && s.ndv > 0 && s.ndv <= (1 << 16) && dictProfitable(s)) return DictCodec
+    if (dictOk) return DictCodec
 
     if (s.allHex && s.minLen >= 8) return HexPackCodec
 

@@ -101,6 +101,30 @@ class CodecSpec extends AnyFunSuite {
   }
 
   // ---- for ----
+  // ---- dict+rle hybrid ----
+  test("dictrle round-trips runs, no-runs, single value, and binary") {
+    val rng = new SplittableRandom(11)
+    val vocab = Array("scala", "java", "rust", "go", "c++").map(bytes)
+    val runs = Array.tabulate(4000)(i => vocab((i / 37) % vocab.length))
+    assertRoundTrip(DictRleCodec, runs)
+    val noRuns = Array.tabulate(500)(i => vocab(i % vocab.length))
+    assertRoundTrip(DictRleCodec, noRuns)
+    assertRoundTrip(DictRleCodec, Array.fill(100)(bytes("only")))
+    assertRoundTrip(DictRleCodec, Array.tabulate(300)(_ => randomBinary(rng, 20)))
+    assertRoundTrip(DictRleCodec, edgeValues)
+  }
+
+  test("dictrle beats rle and dict on low-ndv run-structured data") {
+    val vocab = Array("python", "javascript", "typescript", "markdown").map(bytes)
+    val values = Array.tabulate(8192)(i => vocab((i / 64) % vocab.length))
+    def size(c: Codec): Long = {
+      val (m, p) = c.encode(values)
+      m.length.toLong + p.length
+    }
+    assert(size(DictRleCodec) < size(RleCodec))
+    assert(size(DictRleCodec) < size(DictCodec))
+  }
+
   test("canonicalLong accepts exactly Long.toString round-trips") {
     def ok(s: String) = ForLongCodec.canonicalLong(bytes(s))
     assert(ok("0").contains(0L))

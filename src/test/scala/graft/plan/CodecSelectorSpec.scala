@@ -35,8 +35,14 @@ class CodecSelectorSpec extends AnyFunSuite {
     assert(CodecSelector.select(s) != ForLongCodec)
   }
 
-  test("long runs -> RLE") {
-    assert(CodecSelector.select(stats(ndv = 10, maxRun = 500, nRuns = 20)) == RleCodec)
+  test("low-ndv long runs -> Dict+RLE hybrid") {
+    assert(CodecSelector.select(stats(ndv = 10, maxRun = 500, nRuns = 20)) == DictRleCodec)
+  }
+
+  test("high-ndv runs (dict unprofitable) -> RLE") {
+    // nearly every value distinct: the dict would store them all anyway
+    assert(CodecSelector.select(stats(
+      ndv = 900, maxRun = 4, nRuns = 250, totalBytes = 30000)) == RleCodec)
   }
 
   test("low cardinality without runs -> Dict") {
