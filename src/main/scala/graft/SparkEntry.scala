@@ -25,6 +25,7 @@ object SparkEntry {
     "q_skew_plan" -> (CoreQueries.skewPlan _),
     "q_roundtrip_sha" -> (CoreQueries.roundtripSha _),
     "q_point_lookup" -> (CoreQueries.pointLookup _),
+    "q_dsv2_lookup" -> (CoreQueries.dsv2Lookup _),
     "q_codec_selection" -> (CoreQueries.codecSelection _),
     "q_encode_metrics" -> (CoreQueries.encodeMetrics _),
     // relational coverage: agg / broadcast join / window / time window
@@ -74,6 +75,9 @@ object SparkEntry {
       """SELECT CAST(doc_id AS VARCHAR) AS doc_id_s, lang, source, sha256(text) AS h
         |FROM documents""".stripMargin,
     "q_point_lookup" ->
+      """SELECT CAST(doc_id AS VARCHAR) AS doc_id_s, lang, source, sha256(text) AS h
+        |FROM documents WHERE lang = 'en'""".stripMargin,
+    "q_dsv2_lookup" ->
       """SELECT CAST(doc_id AS VARCHAR) AS doc_id_s, lang, source, sha256(text) AS h
         |FROM documents WHERE lang = 'en'""".stripMargin,
     "q1_agg" ->

@@ -1,0 +1,300 @@
+package graft.datasource
+
+import graft.engine.BlockCodec
+import graft.model.EncodedBlock
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.parquet.hadoop.ParquetReader
+import org.apache.parquet.hadoop.example.GroupReadSupport
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources.{EqualTo, Filter}
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** `spark.read.format("graft")` — a DataSource V2 reader over an encoded
+  * block store (the `{blocks,manifest}` layout Checkpoint writes), so SQL
+  * filters push into blocks natively instead of through the Decoder API.
+  *
+  * The scan plan is the one a 100 TB decode wants:
+  *   - one InputPartition per encoder partition directory → blocks of a
+  *     row group are CO-LOCATED, so reconstruction needs NO shuffle
+  *     (Decoder.decode pays one groupByKey shuffle for the same work);
+  *   - SupportsPushDownRequiredColumns → only requested columns decoded;
+  *   - SupportsPushDownFilters: EqualTo on any column prunes whole blocks
+  *     via BlockCodec.mayContain (dict binary-search / FoR range check)
+  *     before any decompression, then late-materializes only matching rows.
+  * Filters are also left in the plan as residuals, so Spark re-checks them
+  * — pruning can only skip, never fabricate.
+  */
+class GraftDataSource extends TableProvider
+    with org.apache.spark.sql.sources.DataSourceRegister {
+
+  override def shortName(): String = "graft"
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val path = Option(options.get("path")).getOrElse(
+      throw new IllegalArgumentException("graft source requires a path"))
+    GraftDataSource.schemaFor(path)
+  }
+
+  override def getTable(
+      schema: StructType,
+      partitioning: Array[Transform],
+      properties: java.util.Map[String, String]): Table = {
+    val path = properties.get("path")
+    new GraftTable(path, schema)
+  }
+
+  override def supportsExternalMetadata(): Boolean = true
+}
+
+object GraftDataSource {
+
+  /** `path` may be the Checkpoint outDir (containing `blocks/`) or the
+    * blocks directory itself
+    */
+  def blocksDir(path: String): Path = {
+    val conf = activeHadoopConf()
+    val root = new Path(path)
+    val fs = root.getFileSystem(conf)
+    val nested = new Path(root, "blocks")
+    if (fs.exists(nested)) nested else root
+  }
+
+  private def activeHadoopConf(): Configuration =
+    org.apache.spark.sql.SparkSession.active.sparkContext.hadoopConfiguration
+
+  /** column names from the block store (driver-side file listing + one
+    * parquet footer read — no Spark job); all columns are string-typed,
+    * matching the encoder's binary-cast input contract
+    */
+  def schemaFor(path: String): StructType = {
+    val dir = blocksDir(path)
+    val fs = dir.getFileSystem(activeHadoopConf())
+    val partDirs = fs.listStatus(dir).filter(_.getPath.getName.startsWith("partId="))
+    require(partDirs.nonEmpty, s"no partId= directories under $dir")
+    val cols = scala.collection.mutable.SortedSet.empty[String]
+    // one partition dir lists every column (encoder writes all columns per
+    // partition); scan its row groups' colName values
+    val files = fs.listStatus(partDirs.head.getPath)
+      .filter(_.getPath.getName.endsWith(".parquet"))
+    files.foreach { f =>
+      val reader = ParquetReader
+        .builder(new GroupReadSupport(), f.getPath)
+        .withConf(activeHadoopConf())
+        .build()
+      try {
+        var g = reader.read()
+        while (g != null) {
+          cols += g.getString("colName", 0)
+          g = reader.read()
+        }
+      } finally reader.close()
+    }
+    StructType(cols.toSeq.map(StructField(_, StringType, nullable = true)))
+  }
+}
+
+class GraftTable(path: String, tableSchema: StructType) extends Table with SupportsRead {
+  override def name(): String = s"graft:$path"
+  override def schema(): StructType = tableSchema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new GraftScanBuilder(path, tableSchema)
+}
+
+class GraftScanBuilder(path: String, schema: StructType)
+    extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+
+  private var pushed: Array[Filter] = Array.empty
+  private var required: StructType = schema
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    pushed = filters.collect {
+      case e @ EqualTo(attr, v: String) if schema.fieldNames.contains(attr) && v != null => e
+    }
+    // everything stays residual: block pruning is an optimization, Spark
+    // still re-evaluates the predicates on the decoded rows
+    filters
+  }
+
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def build(): Scan = {
+    val eq = pushed.collect { case EqualTo(a, v: String) => a -> v }.toMap
+    GraftScan(path, required, eq)
+  }
+}
+
+final case class GraftScan(path: String, required: StructType, eq: Map[String, String])
+    extends Scan with Batch {
+
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"GraftScan path=$path, ReadSchema: ${required.catalogString}, " +
+      s"PushedFilters: [${eq.map { case (k, v) => s"$k = $v" }.mkString(", ")}]"
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val dir = GraftDataSource.blocksDir(path)
+    val fs = dir.getFileSystem(
+      org.apache.spark.sql.SparkSession.active.sparkContext.hadoopConfiguration)
+    fs.listStatus(dir)
+      .filter(_.getPath.getName.startsWith("partId="))
+      .sortBy(_.getPath.getName)
+      .map { st =>
+        val files = fs.listStatus(st.getPath)
+          .filter(_.getPath.getName.endsWith(".parquet"))
+          .map(_.getPath.toString)
+        GraftInputPartition(
+          st.getPath.getName.stripPrefix("partId=").toInt, files)
+      }
+      .toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    GraftReaderFactory(required.fieldNames, eq)
+}
+
+final case class GraftInputPartition(partId: Int, files: Array[String])
+    extends InputPartition
+
+final case class GraftReaderFactory(requiredCols: Array[String], eq: Map[String, String])
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new GraftPartitionReader(
+      partition.asInstanceOf[GraftInputPartition], requiredCols, eq)
+}
+
+/** Reads one encoder partition: loads its block rows, prunes whole blocks
+  * via min/max-free mayContain on the filter column, decodes only the
+  * needed columns of surviving blocks, emits matching rows. Holds at most
+  * one block-row-group of decoded columns in memory.
+  */
+final class GraftPartitionReader(
+    partition: GraftInputPartition,
+    requiredCols: Array[String],
+    eq: Map[String, String])
+    extends PartitionReader[InternalRow] {
+
+  private val neededCols: Set[String] = requiredCols.toSet ++ eq.keySet
+
+  // count(*)-style scans prune EVERY column: row multiplicity still must
+  // be produced, so fall back to loading one arbitrary column's blocks
+  // (their rowCount metadata is enough — no decode happens)
+  private var countCol: String = null
+
+  // blockIdx -> colName -> block (loaded eagerly; encoded blocks are the
+  // compressed representation, so this is bounded by the partition's
+  // on-disk size)
+  private val byBlock: Array[(Int, Map[String, EncodedBlock])] = {
+    val conf = new Configuration()
+    val acc = scala.collection.mutable.HashMap
+      .empty[Int, scala.collection.mutable.HashMap[String, EncodedBlock]]
+    partition.files.foreach { f =>
+      val reader = ParquetReader
+        .builder(new GroupReadSupport(), new Path(f))
+        .withConf(conf)
+        .build()
+      try {
+        var g = reader.read()
+        while (g != null) {
+          val colName = g.getString("colName", 0)
+          if (neededCols.isEmpty && countCol == null) countCol = colName
+          if (neededCols.contains(colName) ||
+              (neededCols.isEmpty && colName == countCol)) {
+            def strOrNull(field: String): String =
+              if (g.getFieldRepetitionCount(field) == 0) null
+              else g.getString(field, 0)
+            val b = EncodedBlock(
+              colName,
+              partition.partId,
+              g.getInteger("blockIdx", 0),
+              g.getInteger("codecId", 0).toByte,
+              g.getInteger("wrapId", 0).toByte,
+              g.getInteger("rowCount", 0),
+              g.getLong("rawBytes", 0),
+              g.getLong("encodedBytes", 0),
+              strOrNull("minPrefix"),
+              strOrNull("maxPrefix"),
+              g.getBinary("data", 0).getBytes)
+            acc.getOrElseUpdate(b.blockIdx,
+              scala.collection.mutable.HashMap.empty) += (colName -> b)
+          }
+          g = reader.read()
+        }
+      } finally reader.close()
+    }
+    acc.toArray.sortBy(_._1).map { case (i, m) => (i, m.toMap) }
+  }
+
+  private val eqBytes: Map[String, Array[Byte]] =
+    eq.map { case (k, v) => k -> v.getBytes("UTF-8") }
+
+  private var blockPos = 0
+  private var rows: Iterator[InternalRow] = Iterator.empty
+  private var current: InternalRow = _
+
+  /** decode the next surviving block into an InternalRow iterator */
+  private def advanceBlock(): Boolean = {
+    while (blockPos < byBlock.length) {
+      val (_, cols) = byBlock(blockPos)
+      blockPos += 1
+      // 1. whole-block pruning on every pushed key (cheap: dict/FoR meta)
+      val pruned = eqBytes.exists { case (k, v) =>
+        cols.get(k).forall(b => !BlockCodec.mayContain(b, v))
+      }
+      if (!pruned) {
+        // 2. decode filter columns first, intersect matching row ids
+        val decoded = scala.collection.mutable.HashMap.empty[String, Array[Array[Byte]]]
+        def col(name: String): Array[Array[Byte]] =
+          decoded.getOrElseUpdate(name, BlockCodec.decodeBlock(cols(name)))
+        val n = cols.valuesIterator.next().rowCount
+        var matching: Array[Int] = null
+        val allEqPresent = eqBytes.keysIterator.forall(cols.contains)
+        if (allEqPresent && eqBytes.nonEmpty) {
+          var ids = (0 until n).toArray
+          eqBytes.foreach { case (k, v) =>
+            val kv = col(k)
+            ids = ids.filter(i => kv(i) != null && java.util.Arrays.equals(kv(i), v))
+          }
+          matching = ids
+        } else {
+          matching = (0 until n).toArray // let Spark's residual decide
+        }
+        if (matching.nonEmpty) {
+          // 3. late materialization: decode required columns only now
+          val outCols = requiredCols.map(c => cols.get(c).map(_ => col(c)))
+          rows = matching.iterator.map { i =>
+            InternalRow.fromSeq(outCols.toIndexedSeq.map {
+              case Some(vals) =>
+                if (vals(i) == null) null else UTF8String.fromBytes(vals(i))
+              case None => null // column absent in this partition → null
+            })
+          }
+          return true
+        }
+      }
+    }
+    false
+  }
+
+  override def next(): Boolean = {
+    while (!rows.hasNext) {
+      if (!advanceBlock()) return false
+    }
+    current = rows.next()
+    true
+  }
+
+  override def get(): InternalRow = current
+  override def close(): Unit = ()
+}

@@ -83,6 +83,22 @@ object CoreQueries {
         sha2(col("text"), 256).as("h"))
   }
 
+  /** the same point lookup THROUGH the DataSource V2 seam: encode documents
+    * to a block store, then `spark.read.format("graft")` with a SQL filter —
+    * EqualTo pushes into block pruning natively; the oracle filters the
+    * original table, so pruning must lose nothing
+    */
+  def dsv2Lookup(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-q-dsv2").toString
+    val df = docsAsStrings(spark, sfDir)
+    graft.engine.Checkpoint.encodeResumable(
+      df, docCols, docSortKeys, docCfg, dir, s"dsv2:$sfDir")
+    spark.read.format("graft").load(dir)
+      .where(col("lang") === "en")
+      .select(col("doc_id_s"), col("lang"), col("source"),
+        sha2(col("text"), 256).as("h"))
+  }
+
   /** sampled stats pass + selector decision per (partition, column) */
   def codecSelection(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._

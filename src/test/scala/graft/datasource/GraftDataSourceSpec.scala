@@ -1,0 +1,92 @@
+package graft.datasource
+
+import graft.engine.{Checkpoint, Encoder}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** DataSource V2 seam: spark.read.format("graft") over an encoded block
+  * store must reproduce the original table through SQL — full scans,
+  * filtered scans (block pruning + late materialization behind a residual
+  * re-check), and column pruning. The filtered result must equal filtering
+  * the original table: pruning may only skip blocks, never rows.
+  */
+class GraftDataSourceSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-dsv2-spec")
+    .config("spark.sql.shuffle.partitions", "8")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private lazy val store: String = {
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    val langs = Seq("en", "fr", "de", "ja", "pt")
+    val df = (0 until 4000).map { i =>
+      (i.toString, s"body of document $i " + ("x" * (i % 50)),
+        langs(i % langs.length), s"src${i % 7}")
+    }.toDF("doc_id_s", "text", "lang", "source")
+    val dir = java.nio.file.Files.createTempDirectory("graft-dsv2").toString
+    Checkpoint.encodeResumable(df, Seq("doc_id_s", "text", "lang", "source"),
+      Seq("lang", "source", "doc_id_s"),
+      Encoder.EncodeConfig(numPartitions = 4, blockRows = 256), dir, "dsv2")
+    dir
+  }
+
+  private def original = {
+    import spark.implicits._
+    val langs = Seq("en", "fr", "de", "ja", "pt")
+    (0 until 4000).map { i =>
+      (i.toString, s"body of document $i " + ("x" * (i % 50)),
+        langs(i % langs.length), s"src${i % 7}")
+    }.toDF("doc_id_s", "text", "lang", "source")
+  }
+
+  test("full scan reproduces every row bit-identically") {
+    val got = spark.read.format("graft").load(store)
+    assert(got.schema.fieldNames.sorted.toSeq ==
+      Seq("doc_id_s", "lang", "source", "text"))
+    assert(got.count() == 4000)
+    assert(graft.verify.Sha256Check.mismatchGroups(
+      original, got, Seq("doc_id_s", "text", "lang", "source")) == 0)
+  }
+
+  test("EqualTo filter pushes down and loses nothing") {
+    val got = spark.read.format("graft").load(store).where(col("lang") === "en")
+    val expected = original.where(col("lang") === "en")
+    assert(got.count() == expected.count())
+    assert(graft.verify.Sha256Check.mismatchGroups(
+      expected, got, Seq("doc_id_s", "text", "lang", "source")) == 0)
+    val plan = got.queryExecution.executedPlan.toString
+    assert(plan.contains("GraftScan"), plan.take(500))
+    assert(plan.contains("PushedFilters: [lang = en]"), plan.take(800))
+  }
+
+  test("filter on a value absent from the store returns zero rows") {
+    val got = spark.read.format("graft").load(store)
+      .where(col("lang") === "zz")
+    assert(got.count() == 0)
+  }
+
+  test("column pruning decodes only requested columns") {
+    val got = spark.read.format("graft").load(store)
+      .select("lang").where(col("lang") === "fr")
+    assert(got.count() == 800)
+    val plan = got.queryExecution.executedPlan.toString
+    assert(plan.contains("GraftScan"))
+    // ReadSchema in the scan description must have shrunk to lang only
+    assert(plan.contains("ReadSchema: struct<lang:string>"), plan.take(800))
+  }
+
+  test("SQL over a registered graft table") {
+    spark.read.format("graft").load(store).createOrReplaceTempView("graft_docs")
+    val n = spark.sql(
+      "SELECT count(*) FROM graft_docs WHERE lang = 'ja' AND source = 'src3'")
+      .head().getLong(0)
+    val exp = original.where(col("lang") === "ja" && col("source") === "src3").count()
+    assert(n == exp)
+  }
+}
