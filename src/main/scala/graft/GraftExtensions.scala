@@ -16,5 +16,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("simhash64"),
       new ExpressionInfo(classOf[graft.functions.SimHash64].getName, "simhash64"),
       (exprs: Seq[Expression]) => graft.functions.SimHash64(exprs.head)))
+    ext.injectFunction((
+      FunctionIdentifier("md_to_text"),
+      new ExpressionInfo(classOf[graft.functions.MdToText].getName, "md_to_text"),
+      (exprs: Seq[Expression]) => graft.functions.MdToText(exprs.head)))
+    ext.injectFunction((
+      FunctionIdentifier("md_to_html"),
+      new ExpressionInfo(classOf[graft.functions.MdToHtml].getName, "md_to_html"),
+      (exprs: Seq[Expression]) => graft.functions.MdToHtml(exprs.head)))
+    ext.injectFunction((
+      FunctionIdentifier("html_to_md"),
+      new ExpressionInfo(classOf[graft.functions.HtmlToMd].getName, "html_to_md"),
+      (exprs: Seq[Expression]) => graft.functions.HtmlToMd(exprs.head)))
   }
 }

@@ -132,8 +132,11 @@ object Markdown {
   }
 
   // ---- Spark wrappers: whole-doc narrow maps ----
+  /** native codegen'd expression (graft.functions.MdToText) — stays inside
+    * whole-stage codegen, unlike a Scala UDF (SimHash64 precedent)
+    */
   def mdToTextCol(df: DataFrame, in: String, out: String): DataFrame =
-    df.withColumn(out, udf(toText _).apply(col(in)))
+    df.withColumn(out, graft.functions.textFunctions.mdToText(col(in)))
 
   def transformFiles(spark: SparkSession, path: String, f: String => String): Dataset[String] = {
     import spark.implicits._

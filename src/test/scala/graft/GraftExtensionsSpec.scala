@@ -21,6 +21,13 @@ class GraftExtensionsSpec extends AnyFunSuite {
     try {
       val got = spark.sql("SELECT simhash64('the quick brown fox') AS h").first().getLong(0)
       assert(got == graft.functions.SimHashImpl.hashString("the quick brown fox"))
+      val md = spark.sql("SELECT md_to_text('# Title\nSome **bold** text') AS t")
+        .first().getString(0)
+      assert(md == graft.sources.Markdown.toText("# Title\nSome **bold** text"))
+      val html = spark.sql("SELECT md_to_html('# T') AS t").first().getString(0)
+      assert(html.contains("<h1>T</h1>"))
+      val back = spark.sql("SELECT html_to_md('<h1>T</h1>') AS t").first().getString(0)
+      assert(back.trim == "# T")
     } finally {
       spark.stop()
       SparkSession.clearDefaultSession()
