@@ -76,34 +76,84 @@ object Fsst extends Codec {
       }
     }
 
+    // ---- 2-byte dispatch for the encode hot loop: symbols of len ≥ 2
+    // bucketed by their first TWO bytes (the per-first-byte buckets above
+    // stay for training, where tables are tiny); single-byte symbols get a
+    // direct 256-entry code table. Hot buckets shrink from "all symbols
+    // sharing one byte" to "all symbols sharing two", typically 1–2 entries.
+    private val mini: Array[Array[Long]] = {
+      val m = new Array[Array[Long]](65536)
+      var b0 = 0
+      while (b0 < 256) {
+        val list = buckets(b0)
+        var i = 0
+        while (i < list.length) {
+          val len = (list(i + 2) & 0xffL).toInt
+          if (len >= 2) {
+            val b1 = ((list(i + 1) >>> 8) & 0xffL).toInt
+            val idx = (b0 << 8) | b1
+            val prev = m(idx)
+            val next = if (prev == null) new Array[Long](3)
+                       else java.util.Arrays.copyOf(prev, prev.length + 3)
+            next(next.length - 3) = list(i)
+            next(next.length - 2) = list(i + 1)
+            next(next.length - 1) = list(i + 2)
+            m(idx) = next // appended in bucket order = len-desc ✓
+          }
+          i += 3
+        }
+        b0 += 1
+      }
+      m
+    }
+
+    /** packed (code<<8 | 1) of the single-byte symbol per first byte; -1 if none */
+    private val oneByte: Array[Int] = {
+      val t = Array.fill(256)(-1)
+      var b0 = 0
+      while (b0 < 256) {
+        val list = buckets(b0)
+        var i = 0
+        while (i < list.length) {
+          if ((list(i + 2) & 0xffL) == 1L && t(b0) == -1) t(b0) = list(i + 2).toInt
+          i += 3
+        }
+        b0 += 1
+      }
+      t
+    }
+
     /** longest symbol matching data[pos..end); returns (code<<8 | len)
       * packed so the hot loop never dereferences the symbols array; -1 if
       * none
       */
     def findLongestPacked(data: Array[Byte], pos: Int, end: Int): Int = {
-      val list = buckets(data(pos) & 0xff)
-      if (list.length == 0) return -1
+      val b0 = data(pos) & 0xff
       val avail = end - pos
-      if (avail >= 8) {
-        val w = LE_LONG.get(data, pos).asInstanceOf[Long]
-        var i = 0
-        while (i < list.length) {
-          if ((w & list(i)) == list(i + 1)) return list(i + 2).toInt
-          i += 3
+      if (avail >= 2) {
+        val list = mini((b0 << 8) | (data(pos + 1) & 0xff))
+        if (list != null) {
+          if (avail >= 8) {
+            val w = LE_LONG.get(data, pos).asInstanceOf[Long]
+            var i = 0
+            while (i < list.length) {
+              if ((w & list(i)) == list(i + 1)) return list(i + 2).toInt
+              i += 3
+            }
+          } else {
+            var w = 0L
+            var j = 0
+            while (j < avail) { w |= (data(pos + j).toLong & 0xffL) << (8 * j); j += 1 }
+            var i = 0
+            while (i < list.length) {
+              if ((list(i + 2) & 0xffL) <= avail && (w & list(i)) == list(i + 1))
+                return list(i + 2).toInt
+              i += 3
+            }
+          }
         }
-        -1
-      } else {
-        var w = 0L
-        var j = 0
-        while (j < avail) { w |= (data(pos + j).toLong & 0xffL) << (8 * j); j += 1 }
-        var i = 0
-        while (i < list.length) {
-          if ((list(i + 2) & 0xffL) <= avail && (w & list(i)) == list(i + 1))
-            return list(i + 2).toInt
-          i += 3
-        }
-        -1
       }
+      oneByte(b0)
     }
 
     /** longest symbol code only (training path) */
