@@ -1,9 +1,9 @@
 package graft.streaming
 
 import graft.engine.{Checkpoint, Encoder}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
 import org.apache.spark.sql.types.StructType
 
 /** Structured Streaming surface: the reference is batch-only (every task
@@ -30,6 +30,56 @@ object StreamingJobs {
         round(sum(col("value")) * 100).cast("long").as("value_c"))
       .select(col("window.start").as("hour_start"), col("event_type"),
         col("n"), col("value_c"))
+
+  /** One deduplicated document per content hash, with a running duplicate
+    * count — custom per-key state via flatMapGroupsWithState (the stateful
+    * building block Spark's dropDuplicates cannot express: it keeps the
+    * FIRST text AND counts how many dupes it absorbed). State is one small
+    * record per distinct hash, bounded by processing-time timeout, so the
+    * shape survives an unbounded stream: keys are hash-partitioned across
+    * executors and each group's state is O(1).
+    *
+    * Input columns: (doc_id long, text string). Output one row per hash per
+    * trigger where new duplicates arrived: (text_hash, first_doc_id, dupes).
+    */
+  final case class DedupState(firstDocId: Long, dupes: Long)
+
+  /** @param stateTtl evict a hash's state after this processing-time idle
+    *   period (Some, production — bounds total state on an unbounded
+    *   stream); None disables eviction (deterministic tests / bounded
+    *   input; also avoids the timeout-driven empty re-triggers)
+    */
+  def dedupStream(
+      docs: Dataset[(Long, String)],
+      stateTtl: Option[String] = Some("1 hour")): DataFrame = {
+    import docs.sparkSession.implicits._
+    val timeoutConf =
+      if (stateTtl.isDefined) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
+    docs
+      .map { case (id, text) =>
+        (java.security.MessageDigest.getInstance("SHA-256")
+          .digest(text.getBytes("UTF-8")).map(b => f"$b%02x").mkString, id)
+      }
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[DedupState, (String, Long, Long)](
+        OutputMode.Update(), timeoutConf) {
+        (hash: String, rows: Iterator[(String, Long)], state: GroupState[DedupState]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val ids = rows.map(_._2).toVector
+            val prev = state.getOption
+            val first = prev.map(_.firstDocId).getOrElse(ids.min)
+            val dupes = prev.map(_.dupes).getOrElse(-1L) + ids.size
+            state.update(DedupState(first, dupes))
+            stateTtl.foreach(state.setTimeoutDuration)
+            Iterator.single((hash, first, dupes))
+          }
+      }
+      .toDF("text_hash", "first_doc_id", "dupes")
+  }
 
   /** continuous encode: each micro-batch of arriving source files runs
     * through the resumable block encoder (foreachBatch = the batch engine

@@ -64,4 +64,31 @@ class StreamingSpec extends AnyFunSuite {
     assert(decoded.count() == 2000)
     assert(Sha256Check.mismatchGroups(df, decoded, cols) == 0)
   }
+
+  test("stateful streaming dedup keeps first doc per hash and counts dupes") {
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val out = StreamingJobs.dedupStream(input.toDS(), stateTtl = None)
+    val q = out.writeStream
+      .format("memory").queryName("dedup_out").outputMode("update")
+      .start()
+
+    input.addData((1L, "aaa"), (2L, "bbb"), (3L, "aaa"))
+    q.processAllAvailable()
+    input.addData((4L, "aaa"), (5L, "ccc"))
+    q.processAllAvailable()
+    q.stop()
+
+    // last update per hash wins: aaa first=1 dupes=2, bbb first=2 dupes=0,
+    // ccc first=5 dupes=0
+    val last = spark.table("dedup_out")
+      .groupBy("text_hash")
+      .agg(min(col("first_doc_id")).as("first_doc_id"),
+        max(col("dupes")).as("dupes"))
+      .collect()
+      .map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(last == Map(1L -> 2L, 2L -> 0L, 5L -> 0L))
+  }
 }
