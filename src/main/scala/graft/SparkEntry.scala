@@ -119,10 +119,14 @@ object SparkEntry {
         |FROM documents GROUP BY lang""".stripMargin,
     "q_quality_score" -> OracleSql.qualityScore,
     "q_ngram_jaccard" -> OracleSql.ngramJaccard(DedupQueries.ShingleDocFreqCap),
+    "q_minhash_lsh" -> OracleSql.minhashLsh(
+      DedupQueries.NumHashes, DedupQueries.NumBands, DedupQueries.BucketCap),
     "q_lang_id" -> OracleSql.langId,
     "q_fingerprint" -> OracleSql.fingerprint,
     "q_simhash" -> OracleSql.simhash,
     "q_embed_topk" -> OracleSql.embedTopK,
+    "q_embed_lsh_topk" -> OracleSql.embedLshTopK(),
+    "q_embed_lsh_buckets" -> OracleSql.embedLshBuckets(),
     "q_csv_roundtrip" ->
       """SELECT lang, count(*) AS cnt, CAST(sum(n_chars) AS BIGINT) AS total_chars
         |FROM documents GROUP BY lang""".stripMargin,

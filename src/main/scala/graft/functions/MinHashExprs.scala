@@ -1,0 +1,107 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Seeded 64-bit string hash + array fold hash for the MinHash/LSH path.
+  * Chosen over xxhash64 because the whole pipeline must be REPLAYABLE in
+  * the DuckDB oracle: polynomial-31 + murmur fmix64 is exactly expressible
+  * in HUGEINT mod-2^64 SQL (see OracleSql.minhashLsh), where xxhash64's
+  * striped rotations are not practical. Native codegen'd expressions, same
+  * pattern as SimHash64.
+  */
+object MinHashImpl {
+  val Golden = 0x9e3779b97f4a7c15L
+  val PolySeed = 1125899906842597L
+
+  def fmix64(z0: Long): Long = {
+    var z = z0
+    z = (z ^ (z >>> 33)) * 0xff51afd7ed558ccdL
+    z = (z ^ (z >>> 33)) * 0xc4ceb9fe1a85ec53L
+    z ^ (z >>> 33)
+  }
+
+  def poly(s: String): Long = {
+    var h = PolySeed
+    var i = 0
+    while (i < s.length) { h = 31 * h + s.charAt(i); i += 1 }
+    h
+  }
+
+  /** seeded string hash: fmix64(poly(s) ^ fmix64(seed * golden)) */
+  def hashSeed(s: UTF8String, seed: Long): Long =
+    fmix64(poly(s.toString) ^ fmix64(seed * Golden))
+
+  /** order-dependent fold hash of a long array: fmix64(fold(31·acc + v)) */
+  def hashLongArray(vs: org.apache.spark.sql.catalyst.util.ArrayData): Long = {
+    var h = PolySeed
+    var i = 0
+    while (i < vs.numElements()) { h = 31 * h + vs.getLong(i); i += 1 }
+    fmix64(h)
+  }
+}
+
+/** seedhash64(str, seed): 64-bit seeded hash of a string */
+case class SeedHash64(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (left.dataType == StringType && right.dataType == LongType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"seedhash64 needs (string, long), got " +
+        s"(${left.dataType.catalogString}, ${right.dataType.catalogString})")
+
+  override def nullSafeEval(s: Any, seed: Any): Any =
+    MinHashImpl.hashSeed(s.asInstanceOf[UTF8String], seed.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val impl = MinHashImpl.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    nullSafeCodeGen(ctx, ev, (a, b) => s"${ev.value} = $impl.hashSeed($a, $b);")
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): SeedHash64 =
+    copy(left = l, right = r)
+
+  override def prettyName: String = "seedhash64"
+}
+
+/** arrayhash64(array<long>): order-dependent fold hash (band bucketing) */
+case class ArrayHash64(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(LongType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"arrayhash64 needs array<bigint>, got ${other.catalogString}")
+    }
+
+  override def nullSafeEval(v: Any): Any =
+    MinHashImpl.hashLongArray(
+      v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val impl = MinHashImpl.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $impl.hashLongArray($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): ArrayHash64 =
+    copy(child = newChild)
+
+  override def prettyName: String = "arrayhash64"
+}
+
+object minhashFunctions {
+  private def wrap(e: Expression): Column =
+    org.apache.spark.sql.GraftBridge.column(e)
+  private def expr(c: Column): Expression =
+    org.apache.spark.sql.GraftBridge.expression(c)
+
+  def seedhash64(s: Column, seed: Column): Column =
+    wrap(SeedHash64(expr(s), expr(seed)))
+  def arrayhash64(a: Column): Column = wrap(ArrayHash64(expr(a)))
+}

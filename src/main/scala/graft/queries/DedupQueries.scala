@@ -39,10 +39,17 @@ object DedupQueries {
             .otherwise(array(concat_ws(" ", col("toks"))))).as("shingle"))
       .distinct()
 
-  /** per-doc MinHash signature (NumHashes seeded xxhash64 mins) as array */
+  /** per-doc MinHash signature (NumHashes seeded mins) as array. The hash
+    * is graft's native seedhash64 (polynomial-31 + murmur fmix64) rather
+    * than xxhash64 because the WHOLE minhash pipeline must be replayable in
+    * the DuckDB oracle — seedhash64 is exactly expressible in HUGEINT
+    * mod-2^64 SQL (OracleSql.minhashLsh); xxhash64's striped rotations are
+    * not. Same codegen'd-expression performance class.
+    */
   private def minhashSignatures(docs: DataFrame): DataFrame = {
+    import graft.functions.minhashFunctions.seedhash64
     val mins = (0 until NumHashes).map(k =>
-      min(xxhash64(lit(k), col("shingle"))).as(s"h$k"))
+      min(seedhash64(col("shingle"), lit(k.toLong))).as(s"h$k"))
     shingles(docs)
       .groupBy(col("doc_id"))
       .agg(mins.head, mins.tail: _*)
@@ -50,18 +57,21 @@ object DedupQueries {
         array((0 until NumHashes).map(k => col(s"h$k")): _*).as("mh"))
   }
 
-  /** MinHash + LSH banding: candidate pairs with estimated Jaccard.
+  /** MinHash + LSH banding: candidate pairs with signature match counts.
     * Self-join on (band, band-hash) — only same-bucket pairs are formed,
-    * with buckets above BucketCap dropped (skew guard).
+    * with buckets above BucketCap dropped (skew guard). `matches` (0..32
+    * equal signature positions, est. Jaccard = matches/32) is an integer,
+    * so the DuckDB oracle hash-compares exactly.
     */
   def minhashLsh(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.minhashFunctions.arrayhash64
     val docs = load(spark, sfDir, "documents")
     val sigs = minhashSignatures(docs).cache()
     val rowsPerBand = NumHashes / NumBands
     val bands = sigs.select(col("doc_id"),
       posexplode(
         transform(sequence(lit(0), lit(NumBands - 1)),
-          b => xxhash64(b, slice(col("mh"), b * rowsPerBand + 1, lit(rowsPerBand))))))
+          b => arrayhash64(slice(col("mh"), b * rowsPerBand + 1, lit(rowsPerBand))))))
       .toDF("doc_id", "band", "band_hash")
     val okBuckets = bands.groupBy("band", "band_hash").count()
       .where(col("count") <= BucketCap && col("count") >= 2)
@@ -72,14 +82,15 @@ object DedupQueries {
     val candidates = a.join(b, Seq("band", "band_hash"))
       .where(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b").distinct()
-    val est = candidates
+    candidates
       .join(sigs.select(col("doc_id").as("doc_a"), col("mh").as("mh_a")), Seq("doc_a"))
       .join(sigs.select(col("doc_id").as("doc_b"), col("mh").as("mh_b")), Seq("doc_b"))
       .select(col("doc_a"), col("doc_b"),
-        (aggregate(zip_with(col("mh_a"), col("mh_b"),
+        aggregate(zip_with(col("mh_a"), col("mh_b"),
           (x, y) => when(x === y, 1).otherwise(0)), lit(0), _ + _)
-          .cast("double") / NumHashes).as("est_jaccard"))
-    est.orderBy(col("est_jaccard").desc, col("doc_a"), col("doc_b")).limit(100)
+          .cast("long").as("matches"))
+      .orderBy(col("matches").desc, col("doc_a"), col("doc_b"))
+      .limit(100)
   }
 
   /** 64-bit SimHash per doc — runs through the native codegen'd Catalyst

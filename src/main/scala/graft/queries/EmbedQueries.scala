@@ -25,11 +25,15 @@ object EmbedQueries {
   /** hard per-bucket cap (skew guard, mirrors DedupQueries.BucketCap) */
   val LshBucketCap = 8 * LshTargetBucket
 
-  /** bits per band for a corpus of n vectors: 2^bits ≈ n / targetBucket */
+  /** bits per band for a corpus of n vectors: 2^bits ≈ n / targetBucket.
+    * Pure integer arithmetic (ceil-div + bit length) so the DuckDB oracle
+    * computes the IDENTICAL value — float log2 can differ by 1 ulp at
+    * power-of-two boundaries and flip the ceil.
+    */
   def lshBitsFor(n: Long): Int = {
-    val raw = math.ceil(math.log(math.max(1.0, n.toDouble / LshTargetBucket))
-      / math.log(2.0)).toInt
-    math.min(24, math.max(4, raw))
+    val m = (math.max(1L, n) + LshTargetBucket - 1) / LshTargetBucket
+    val bitLen = 64 - java.lang.Long.numberOfLeadingZeros(m - 1)
+    math.min(24, math.max(4, bitLen))
   }
 
   private def withNorm(df: DataFrame): DataFrame =
@@ -63,7 +67,7 @@ object EmbedQueries {
   }
 
   /** seeded deterministic hyperplane weight for (plane, dim) */
-  private def planeWeight(p: Int, j: Int): Double = {
+  private[queries] def planeWeight(p: Int, j: Int): Double = {
     var z = p.toLong * 131071L + j + 0x9e3779b97f4a7c15L
     z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
     z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL

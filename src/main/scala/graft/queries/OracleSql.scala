@@ -163,6 +163,144 @@ object OracleSql {
        |    CAST(v % $Half AS BIGINT)) AS simhash_hex
        |FROM vals ORDER BY doc_id""".stripMargin
 
+  /** q_minhash_lsh: the FULL minhash pipeline replayed — per-shingle
+    * polynomial hash, 32 seeded fmix64 variants (seed constants precomputed
+    * here exactly as graft.functions.MinHashImpl does), SIGNED per-seed
+    * mins (Spark `min` over longs), band fold-hash bucketing with the same
+    * 2..cap bucket filter, candidate pairs, and integer signature match
+    * counts. Cross-validated against an independent Python mirror.
+    */
+  def minhashLsh(numHashes: Int, bands: Int, cap: Int): String = {
+    val golden = BigInt("9e3779b97f4a7c15", 16)
+    val c1 = BigInt("ff51afd7ed558ccd", 16)
+    val c2 = BigInt("c4ceb9fe1a85ec53", 16)
+    val mod = BigInt(1) << 64
+    def fmix(z0: BigInt): BigInt = {
+      var z = z0
+      z = ((z ^ (z >> 33)) * c1).mod(mod)
+      z = ((z ^ (z >> 33)) * c2).mod(mod)
+      z ^ (z >> 33)
+    }
+    val polySeed = 1125899906842597L
+    val rpb = numHashes / bands
+    val seedVals = (0 until numHashes)
+      .map(k => s"($k, ${fmix((BigInt(k) * golden).mod(mod))}::HUGEINT)")
+      .mkString(", ")
+    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       |sh AS (
+       |  SELECT DISTINCT doc_id, shingle FROM (
+       |    SELECT doc_id, unnest(CASE WHEN len(t) >= 3
+       |      THEN list_transform(range(1, len(t) - 1), i -> array_to_string(t[i:i+2], ' '))
+       |      ELSE [array_to_string(t, ' ')] END) AS shingle
+       |    FROM toks)),
+       |poly AS (
+       |  SELECT doc_id, shingle, list_reduce(
+       |    list_concat([$polySeed::HUGEINT],
+       |      list_transform(range(1, len(shingle) + 1),
+       |        i -> CAST(ascii(shingle[i:i]) AS HUGEINT))),
+       |    (acc, x) -> (31 * acc + x) % $Mod) AS p
+       |  FROM sh),
+       |seeds(k, sc) AS (VALUES $seedVals),
+       |h0 AS (SELECT doc_id, k,
+       |  CAST(xor(CAST(p // $Half AS BIGINT), CAST(sc // $Half AS BIGINT)) AS HUGEINT) * $Half
+       |  + CAST(xor(CAST(p % $Half AS BIGINT), CAST(sc % $Half AS BIGINT)) AS HUGEINT) AS z
+       |  FROM poly, seeds),
+       |h1 AS (SELECT doc_id, k, ${mulMod64(xorShr33("z"), c1)} AS z FROM h0),
+       |h2 AS (SELECT doc_id, k, ${mulMod64(xorShr33("z"), c2)} AS z FROM h1),
+       |h3 AS (SELECT doc_id, k, ${xorShr33("z")} AS h FROM h2),
+       |mins AS (SELECT doc_id, k,
+       |  min(CAST(h - CASE WHEN h >= 9223372036854775808::HUGEINT
+       |    THEN $Mod ELSE 0::HUGEINT END AS BIGINT)) AS mh
+       |  FROM h3 GROUP BY 1, 2),
+       |sig AS (SELECT doc_id, list(mh ORDER BY k) AS mh FROM mins GROUP BY doc_id),
+       |bf0 AS (
+       |  SELECT doc_id, b, list_reduce(
+       |    list_concat([$polySeed::HUGEINT],
+       |      list_transform(mh[b*$rpb+1 : b*$rpb+$rpb],
+       |        v -> CAST(v AS HUGEINT) + CASE WHEN v < 0 THEN $Mod ELSE 0::HUGEINT END)),
+       |    (acc, x) -> (31 * acc + x) % $Mod) AS z
+       |  FROM sig, range(0, $bands) AS r(b)),
+       |bf1 AS (SELECT doc_id, b, ${mulMod64(xorShr33("z"), c1)} AS z FROM bf0),
+       |bf2 AS (SELECT doc_id, b, ${mulMod64(xorShr33("z"), c2)} AS z FROM bf1),
+       |bandhash AS (SELECT doc_id, b, ${xorShr33("z")} AS bh FROM bf2),
+       |ok AS (SELECT b, bh FROM bandhash GROUP BY b, bh
+       |       HAVING count(*) >= 2 AND count(*) <= $cap),
+       |inb AS (SELECT doc_id, b, bh FROM bandhash JOIN ok USING (b, bh)),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
+       |  FROM inb a JOIN inb c USING (b, bh) WHERE a.doc_id < c.doc_id)
+       |SELECT doc_a, doc_b,
+       |  CAST(list_sum(list_transform(range(1, ${numHashes + 1}),
+       |    i -> CASE WHEN sa.mh[i] = sb.mh[i] THEN 1 ELSE 0 END)) AS BIGINT) AS matches
+       |FROM cand JOIN sig sa ON sa.doc_id = doc_a JOIN sig sb ON sb.doc_id = doc_b
+       |ORDER BY matches DESC, doc_a, doc_b LIMIT 100""".stripMargin
+  }
+
+  /** Shared head for the embedding-LSH oracles: the seeded hyperplane
+    * weights are deterministic CONSTANTS (EmbedQueries.planeWeight), so
+    * they are embedded as double literals (Double.toString round-trips
+    * exactly); bits-per-band uses the same integer ceil-div + bit-length
+    * formula as EmbedQueries.lshBitsFor. Planes are a VALUES table joined
+    * by index — a literal list inside a lambda re-materializes per element
+    * and is pathologically slow.
+    */
+  private def embedLshCommon(maxBits: Int): String = {
+    val dim = 64
+    val planeVals = (0 until EmbedQueries.LshBands * maxBits).map { idx =>
+      val row = (0 until dim).map(j => EmbedQueries.planeWeight(idx, j).toString)
+      s"($idx, [${row.mkString(", ")}])"
+    }.mkString(", ")
+    val target = EmbedQueries.LshTargetBucket
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+       |nn AS (SELECT CAST(LEAST(24, GREATEST(4, CASE WHEN m <= 1 THEN 0
+       |         ELSE length(bin(m - 1)) END)) AS INT) AS bits
+       |       FROM (SELECT (GREATEST(1, count(*)) + $target - 1) // $target AS m FROM e) t),
+       |planes(idx, pl) AS (VALUES $planeVals),
+       |dots AS (
+       |  SELECT vec_id, idx // bits AS b, idx % bits AS p,
+       |    list_sum(list_transform(range(1, ${dim + 1}), j -> pl[j] * emb[j])) AS dot
+       |  FROM e, nn, planes WHERE idx < ${EmbedQueries.LshBands} * bits),
+       |sig AS (
+       |  SELECT vec_id, b,
+       |    CAST(sum(CASE WHEN dot >= 0 THEN 1 << p ELSE 0 END) AS BIGINT) AS s
+       |  FROM dots GROUP BY 1, 2)""".stripMargin
+  }
+
+  /** q_embed_lsh_buckets: per-band bucket-size histogram */
+  def embedLshBuckets(maxBits: Int = 12): String =
+    embedLshCommon(maxBits) +
+      """
+        |SELECT b AS band, cnt AS bucket_size, count(*) AS n_buckets FROM (
+        |  SELECT b, s, count(*) AS cnt FROM sig GROUP BY b, s) t
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** q_embed_lsh_topk: bucket-capped candidates + exact cosine re-rank */
+  def embedLshTopK(maxBits: Int = 12): String =
+    embedLshCommon(maxBits) +
+      s""",
+         |ok AS (SELECT b, s FROM sig GROUP BY b, s
+         |       HAVING count(*) >= 2 AND count(*) <= ${EmbedQueries.LshBucketCap}),
+         |inb AS (SELECT vec_id, b, s FROM sig JOIN ok USING (b, s)),
+         |cand AS (
+         |  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+         |  FROM inb q JOIN inb c USING (b, s)
+         |  WHERE q.vec_id < ${EmbedQueries.NumQueries} AND c.vec_id != q.vec_id),
+         |nrm AS (SELECT vec_id, emb,
+         |          sqrt(list_sum(list_transform(emb, x -> x * x))) AS nm FROM e),
+         |scored AS (
+         |  SELECT query_id, neighbor_id,
+         |    list_sum(list_transform(range(1, 65), j -> a.emb[j] * b2.emb[j]))
+         |      / (a.nm * b2.nm) AS cos
+         |  FROM cand JOIN nrm a ON a.vec_id = query_id
+         |  JOIN nrm b2 ON b2.vec_id = neighbor_id),
+         |r AS (SELECT query_id, neighbor_id,
+         |        CAST(row_number() OVER (PARTITION BY query_id
+         |          ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rnk, cos
+         |      FROM scored)
+         |SELECT query_id, neighbor_id, rnk,
+         |  CAST(round(cos * 1000000) AS BIGINT) AS cos_r6
+         |FROM r WHERE rnk <= ${EmbedQueries.K} ORDER BY query_id, rnk""".stripMargin
+
   /** q_embed_topk: exact cosine top-k in DOUBLE arithmetic with the same
     * left-to-right summation order as the Spark fold
     */
