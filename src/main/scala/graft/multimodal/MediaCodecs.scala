@@ -1,0 +1,170 @@
+package graft.multimodal
+
+/** Pure-JVM media codecs for the formats that need no external libraries:
+  * binary PPM (P6) images and PCM16 mono WAV audio — both fully public,
+  * trivially specified container formats. These make the multimodal decode
+  * path REAL for image/audio (JPEG/PNG/MP3/video stay declared stubs: no
+  * codec libs ship in this container).
+  */
+object MediaCodecs {
+
+  // ---------------------------------------------------------------- PPM P6
+
+  /** encode w×h RGB (3 bytes/pixel, row-major) as binary PPM */
+  def encodePpm(w: Int, h: Int, rgb: Array[Byte]): Array[Byte] = {
+    require(rgb.length == 3 * w * h, s"need ${3 * w * h} bytes, got ${rgb.length}")
+    val header = s"P6\n$w $h\n255\n".getBytes("US-ASCII")
+    val out = new Array[Byte](header.length + rgb.length)
+    System.arraycopy(header, 0, out, 0, header.length)
+    System.arraycopy(rgb, 0, out, header.length, rgb.length)
+    out
+  }
+
+  /** strict P6 parse (maxval 255, `#` comments allowed) → (w, h, rgb) */
+  def decodePpm(b: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
+    var i = 0
+    def skipWs(): Unit = {
+      var go = true
+      while (go && i < b.length) {
+        val c = b(i)
+        if (c == '#') { while (i < b.length && b(i) != '\n') i += 1 }
+        else if (c == ' ' || c == '\t' || c == '\r' || c == '\n') i += 1
+        else go = false
+      }
+    }
+    def int(): Int = {
+      skipWs()
+      var v = 0
+      var any = false
+      while (i < b.length && b(i) >= '0' && b(i) <= '9') {
+        v = v * 10 + (b(i) - '0'); i += 1; any = true
+      }
+      if (!any) -1 else v
+    }
+    if (b.length < 2 || b(0) != 'P' || b(1) != '6') return None
+    i = 2
+    val w = int(); val h = int(); val maxv = int()
+    if (w <= 0 || h <= 0 || maxv != 255 || i >= b.length) return None
+    i += 1 // exactly one whitespace byte after maxval
+    val need = 3 * w * h
+    if (b.length - i < need) return None
+    Some((w, h, java.util.Arrays.copyOfRange(b, i, i + need)))
+  }
+
+  /** nearest-neighbor resample to w2×h2; None when the input is not PPM */
+  def resizePpmNearest(b: Array[Byte], w2: Int, h2: Int): Option[Array[Byte]] =
+    decodePpm(b).map { case (w, h, rgb) =>
+      val out = new Array[Byte](3 * w2 * h2)
+      var y = 0
+      while (y < h2) {
+        val sy = (y.toLong * h / h2).toInt
+        var x = 0
+        while (x < w2) {
+          val sx = (x.toLong * w / w2).toInt
+          val s = 3 * (sy * w + sx)
+          val d = 3 * (y * w2 + x)
+          out(d) = rgb(s); out(d + 1) = rgb(s + 1); out(d + 2) = rgb(s + 2)
+          x += 1
+        }
+        y += 1
+      }
+      encodePpm(w2, h2, out)
+    }
+
+  /** 16-bin luminance histogram, normalized by pixel count */
+  def ppmLumaHistogram(b: Array[Byte], bins: Int): Option[Array[Float]] =
+    decodePpm(b).map { case (w, h, rgb) =>
+      val hist = new Array[Float](bins)
+      var p = 0
+      while (p < rgb.length) {
+        val lum = ((rgb(p) & 0xff) * 299 + (rgb(p + 1) & 0xff) * 587 +
+          (rgb(p + 2) & 0xff) * 114) / 1000
+        hist(math.min(bins - 1, lum * bins / 256)) += 1f
+        p += 3
+      }
+      val n = math.max(1, w * h)
+      var k = 0
+      while (k < bins) { hist(k) /= n; k += 1 }
+      hist
+    }
+
+  // ---------------------------------------------------------- WAV (PCM16)
+
+  /** mono PCM16 little-endian WAV */
+  def encodeWav(sampleRate: Int, samples: Array[Short]): Array[Byte] = {
+    val dataLen = samples.length * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1) // PCM
+      .putShort(1) // mono
+      .putInt(sampleRate)
+      .putInt(sampleRate * 2) // byte rate
+      .putShort(2) // block align
+      .putShort(16) // bits per sample
+      .put("data".getBytes("US-ASCII")).putInt(dataLen)
+    samples.foreach(bb.putShort)
+    bb.array()
+  }
+
+  /** parse mono PCM16 WAV (walks RIFF chunks) → (sampleRate, samples) */
+  def decodeWav(b: Array[Byte]): Option[(Int, Array[Short])] = {
+    if (b.length < 44) return None
+    val bb = java.nio.ByteBuffer.wrap(b).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def tag(): String = {
+      val t = new Array[Byte](4); bb.get(t); new String(t, "US-ASCII")
+    }
+    if (tag() != "RIFF") return None
+    bb.getInt
+    if (tag() != "WAVE") return None
+    var rate = -1
+    var samples: Array[Short] = null
+    while (bb.remaining() >= 8 && (rate < 0 || samples == null)) {
+      val t = tag()
+      val len = bb.getInt
+      if (len < 0 || len > bb.remaining()) return None
+      t match {
+        case "fmt " =>
+          val fmt = bb.getShort
+          val channels = bb.getShort
+          rate = bb.getInt
+          bb.getInt; bb.getShort
+          val bits = bb.getShort
+          if (fmt != 1 || channels != 1 || bits != 16) return None
+          bb.position(bb.position() + len - 16)
+        case "data" =>
+          samples = new Array[Short](len / 2)
+          var k = 0
+          while (k < samples.length) { samples(k) = bb.getShort; k += 1 }
+        case _ => bb.position(bb.position() + len)
+      }
+    }
+    if (rate > 0 && samples != null) Some((rate, samples)) else None
+  }
+
+  /** per-window RMS amplitude (bins equal windows, samples scaled to ±1) */
+  def wavRmsWindows(b: Array[Byte], bins: Int): Option[Array[Float]] =
+    decodeWav(b).map { case (_, samples) =>
+      val out = new Array[Float](bins)
+      if (samples.nonEmpty) {
+        val per = math.max(1, samples.length / bins)
+        var w = 0
+        while (w < bins) {
+          val from = w * per
+          val to = math.min(samples.length, from + per)
+          var acc = 0.0
+          var k = from
+          while (k < to) {
+            val v = samples(k) / 32768.0
+            acc += v * v
+            k += 1
+          }
+          out(w) = if (to > from) math.sqrt(acc / (to - from)).toFloat else 0f
+          w += 1
+        }
+      }
+      out
+    }
+}

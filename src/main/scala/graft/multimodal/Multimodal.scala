@@ -25,41 +25,63 @@ object Multimodal {
 
   final case class MediaFeatures(doc_id: Long, kind: String, features: Array[Float])
 
-  /** deterministic synthetic media table (seeded, no external data) */
+  /** deterministic synthetic media table (seeded, no external data).
+    * Images are REAL binary PPM files and audio REAL PCM16 WAV files
+    * (MediaCodecs) — the decode stages below parse them for real; video
+    * payloads stay random bytes behind the declared frame-sampling stub.
+    */
   def syntheticTable(spark: SparkSession, rows: Long, seed: Long = 42L,
       parts: Int = 8): Dataset[MediaFile] = {
     import spark.implicits._
     spark.range(0L, rows, 1L, parts).map { i =>
       val rng = new java.util.SplittableRandom(seed ^ (i * 0x9e3779b97f4a7c15L))
       val kind = Seq("image", "audio", "video")(rng.nextInt(3))
-      val payload = new Array[Byte](256 + rng.nextInt(2048))
-      rng.nextBytes(payload)
-      val meta = kind match {
-        case "image" => MediaMeta(kind, 16 + rng.nextInt(512), 16 + rng.nextInt(512), 0, 0L)
-        case "audio" => MediaMeta(kind, 0, 0, 8000 + rng.nextInt(40000), 100L + rng.nextInt(10000))
-        case _ => MediaMeta(kind, 320, 240, 0, 1000L + rng.nextInt(60000))
+      kind match {
+        case "image" =>
+          val w = 16 + rng.nextInt(64)
+          val h = 16 + rng.nextInt(64)
+          val rgb = new Array[Byte](3 * w * h)
+          rng.nextBytes(rgb)
+          MediaFile(i, MediaMeta(kind, w, h, 0, 0L), MediaCodecs.encodePpm(w, h, rgb))
+        case "audio" =>
+          val rate = 8000 + rng.nextInt(8000)
+          val durMs = 100L + rng.nextInt(500)
+          val n = (rate * durMs / 1000L).toInt
+          val samples = Array.tabulate(n)(k =>
+            (math.sin(k * 0.05 + (i % 17)) * 12000 +
+              rng.nextInt(2000) - 1000).toShort)
+          MediaFile(i, MediaMeta(kind, 0, 0, rate, durMs), MediaCodecs.encodeWav(rate, samples))
+        case _ =>
+          val payload = new Array[Byte](256 + rng.nextInt(2048))
+          rng.nextBytes(payload)
+          MediaFile(i, MediaMeta(kind, 320, 240, 0, 1000L + rng.nextInt(60000)), payload)
       }
-      MediaFile(i, meta, payload)
     }
   }
 
-  /** STUB decode → fixed-dim feature vector. A real implementation would
-    * decode the media bytes (JPEG/PNG/WAV/...) and run a feature extractor;
-    * the deterministic fake hashes byte windows so tests can assert shape,
-    * determinism, and partition behavior. Plan shape (narrow map over
-    * binary, no shuffle) is the real one.
+  /** Decode → fixed-dim feature vector. REAL for PPM images (16-bin
+    * luminance histogram) and PCM16 WAV audio (16-window RMS envelope) via
+    * MediaCodecs; other formats (JPEG/PNG/MP3/video — no codec libs in this
+    * container) fall back to the declared deterministic stub. Plan shape
+    * (narrow map over binary, no shuffle) is identical either way.
     */
   val FeatureDim = 16
 
   def extractFeatures(media: Dataset[MediaFile]): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.map { m =>
-      MediaFeatures(m.doc_id, m.meta.kind, stubFeatures(m.media))
+      val real = m.meta.kind match {
+        case "image" => MediaCodecs.ppmLumaHistogram(m.media, FeatureDim)
+        case "audio" => MediaCodecs.wavRmsWindows(m.media, FeatureDim)
+        case _ => None
+      }
+      MediaFeatures(m.doc_id, m.meta.kind, real.getOrElse(stubFeatures(m.media)))
     }
   }
 
   private[multimodal] def stubFeatures(bytes: Array[Byte]): Array[Float] = {
-    // ??? real decode goes here — deterministic fake below
+    // ??? real decode goes here for formats without a pure-JVM parser —
+    // deterministic fake below keeps shape/determinism testable
     val out = new Array[Float](FeatureDim)
     var i = 0
     while (i < bytes.length) {
@@ -72,20 +94,24 @@ object Multimodal {
     out
   }
 
-  /** STUB resize: a real one decodes + resamples pixels; the fake rescales
-    * metadata and truncates bytes proportionally (plumbing + schema real)
+  /** Resize: REAL nearest-neighbor pixel resample for PPM images
+    * (MediaCodecs.resizePpmNearest); non-PPM image payloads fall back to
+    * the declared stub (metadata rescale + proportional truncation).
     */
   def resize(media: Dataset[MediaFile], width: Int, height: Int): Dataset[MediaFile] = {
     import media.sparkSession.implicits._
     media.map { m =>
       if (m.meta.kind != "image") m
-      else {
-        val scale = math.min(1.0,
-          (width.toLong * height).toDouble / math.max(1L, m.meta.width.toLong * m.meta.height))
-        val keep = math.max(16, (m.media.length * scale).toInt)
-        m.copy(
-          meta = m.meta.copy(width = width, height = height),
-          media = java.util.Arrays.copyOf(m.media, math.min(keep, m.media.length)))
+      else MediaCodecs.resizePpmNearest(m.media, width, height) match {
+        case Some(resized) =>
+          m.copy(meta = m.meta.copy(width = width, height = height), media = resized)
+        case None => // stub path for undecodable formats
+          val scale = math.min(1.0,
+            (width.toLong * height).toDouble / math.max(1L, m.meta.width.toLong * m.meta.height))
+          val keep = math.max(16, (m.media.length * scale).toInt)
+          m.copy(
+            meta = m.meta.copy(width = width, height = height),
+            media = java.util.Arrays.copyOf(m.media, math.min(keep, m.media.length)))
       }
     }
   }

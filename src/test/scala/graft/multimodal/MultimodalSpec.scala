@@ -39,15 +39,57 @@ class MultimodalSpec extends AnyFunSuite {
       .forall { case (x, y) => x.features.sameElements(y.features) })
   }
 
-  test("resize rescales image metadata and payload only") {
+  test("ppm codec round-trips and decodes the synthetic images") {
+    val rgb = Array.tabulate(3 * 5 * 4)(i => (i * 7).toByte)
+    val ppm = MediaCodecs.encodePpm(5, 4, rgb)
+    val Some((w, h, back)) = MediaCodecs.decodePpm(ppm)
+    assert(w == 5 && h == 4 && back.toSeq == rgb.toSeq)
+    assert(MediaCodecs.decodePpm("not an image".getBytes).isEmpty)
+    // comments + arbitrary whitespace per the PPM spec
+    val weird = ("P6 # cmt\n # another\n 2\t1\n255\n" + "abcdef").getBytes("US-ASCII")
+    assert(MediaCodecs.decodePpm(weird).exists { case (w2, h2, px) =>
+      w2 == 2 && h2 == 1 && px.toSeq == "abcdef".getBytes.toSeq
+    })
+  }
+
+  test("wav codec round-trips PCM16 samples") {
+    val samples = Array.tabulate(1000)(k => (math.sin(k * 0.1) * 20000).toShort)
+    val wav = MediaCodecs.encodeWav(16000, samples)
+    val Some((rate, back)) = MediaCodecs.decodeWav(wav)
+    assert(rate == 16000 && back.toSeq == samples.toSeq)
+    assert(MediaCodecs.decodeWav(Array.fill[Byte](100)(3)).isEmpty)
+  }
+
+  test("resize really resamples PPM pixels (nearest neighbor)") {
     val media = Multimodal.syntheticTable(spark, 200)
     val resized = Multimodal.resize(media, 32, 32).collect()
     val byId = media.collect().map(m => m.doc_id -> m).toMap
     resized.foreach { m =>
       if (m.meta.kind == "image") {
         assert(m.meta.width == 32 && m.meta.height == 32)
-        assert(m.media.length <= byId(m.doc_id).media.length)
+        val Some((w, h, px)) = MediaCodecs.decodePpm(m.media)
+        assert(w == 32 && h == 32 && px.length == 3 * 32 * 32)
+        // corner pixel is the source's corner pixel (nearest neighbor)
+        val Some((_, _, src)) = MediaCodecs.decodePpm(byId(m.doc_id).media)
+        assert(px(0) == src(0) && px(1) == src(1) && px(2) == src(2))
       } else assert(m.meta == byId(m.doc_id).meta)
+    }
+  }
+
+  test("image/audio features come from REAL decodes (histogram/RMS ranges)") {
+    val media = Multimodal.syntheticTable(spark, 300)
+    val feats = Multimodal.extractFeatures(media).collect()
+    val kinds = media.collect().map(m => m.doc_id -> m.meta.kind).toMap
+    feats.foreach { f =>
+      kinds(f.doc_id) match {
+        case "image" => // histogram: non-negative, sums to ~1
+          assert(f.features.forall(v => v >= 0f && v <= 1f))
+          assert(math.abs(f.features.sum - 1f) < 1e-3)
+        case "audio" => // RMS of a ±0.4-ish sine + noise
+          assert(f.features.forall(v => v >= 0f && v <= 1f))
+          assert(f.features.max > 0.05f)
+        case _ =>
+      }
     }
   }
 

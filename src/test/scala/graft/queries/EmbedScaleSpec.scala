@@ -1,0 +1,56 @@
+package graft.queries
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Scale evidence for the size-adaptive LSH: bits-per-band grow with the
+  * corpus, so MEAN bucket population stays ~LshTargetBucket at any scale —
+  * the property that keeps the candidate join bounded at 100× (a fixed
+  * bucket count would hold corpus/2^bits rows per bucket and degenerate).
+  */
+class EmbedScaleSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-embed-scale-spec")
+    .config("spark.sql.shuffle.partitions", "8")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("bits formula matches the SQL-integer semantics") {
+    assert(EmbedQueries.lshBitsFor(1) == 4)
+    assert(EmbedQueries.lshBitsFor(500) == 4)
+    assert(EmbedQueries.lshBitsFor(512) == 4) // 512/32 = 16 = 2^4 exactly
+    assert(EmbedQueries.lshBitsFor(513) == 5)
+    assert(EmbedQueries.lshBitsFor(32 * 1024) == 10)
+    assert(EmbedQueries.lshBitsFor(Long.MaxValue) == 24)
+  }
+
+  test("mean bucket size stays near the target as the corpus grows 16x") {
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    for (n <- Seq(1000, 16000)) {
+      val dir = java.nio.file.Files.createTempDirectory(s"graft-lsh-$n").toString
+      spark.range(0, n, 1, 8).map { i =>
+        val rng = new java.util.SplittableRandom(7L * i + 13)
+        (i, Array.fill(64)((rng.nextDouble() * 2 - 1).toFloat), (i % 10).toInt)
+      }.toDF("vec_id", "embedding", "label")
+        .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+
+      val hist = EmbedQueries.lshBuckets(spark, dir).collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+      val vecsPerBand = hist.map { case (_, sz, cnt) => sz * cnt }.sum /
+        EmbedQueries.LshBands
+      assert(vecsPerBand == n, s"every vector lands in every band at n=$n")
+      val buckets = hist.map(_._3).sum / EmbedQueries.LshBands
+      val mean = n.toDouble / buckets
+      // target is 32; random data spreads unevenly (signs are correlated
+      // across nearby planes), so allow a generous constant factor — the
+      // POINT is that the mean does not grow ~16x with the corpus
+      assert(mean < 16 * EmbedQueries.LshTargetBucket,
+        s"n=$n mean bucket $mean must stay bounded")
+      val maxBucket = hist.map(_._2).max
+      assert(maxBucket <= n / 2, s"n=$n max bucket $maxBucket degenerated")
+    }
+  }
+}
