@@ -109,10 +109,12 @@ class GraftTable(path: String, tableSchema: StructType) extends Table with Suppo
 }
 
 class GraftScanBuilder(path: String, schema: StructType)
-    extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownFilters
+    with SupportsPushDownRequiredColumns with SupportsPushDownAggregates {
 
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = schema
+  private var countStar = false
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     pushed = filters.collect {
@@ -128,10 +130,82 @@ class GraftScanBuilder(path: String, schema: StructType)
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan = {
-    val eq = pushed.collect { case EqualTo(a, v: String) => a -> v }.toMap
-    GraftScan(path, required, eq)
+  /** COUNT(*) with no filters/grouping is answered from block metadata
+    * alone — each partition reader sums its blocks' rowCount field and
+    * emits one row; nothing is decompressed, let alone decoded. Partial
+    * pushdown: Spark still sums the per-partition counts.
+    */
+  override def pushAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
+    val ok = pushed.isEmpty &&
+      agg.groupByExpressions().isEmpty &&
+      agg.aggregateExpressions().length == 1 &&
+      agg.aggregateExpressions().head
+        .isInstanceOf[org.apache.spark.sql.connector.expressions.aggregate.CountStar]
+    if (ok) countStar = true
+    ok
   }
+
+  override def supportCompletePushDown(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = false
+
+  override def build(): Scan = {
+    if (countStar) GraftCountStarScan(path)
+    else {
+      val eq = pushed.collect { case EqualTo(a, v: String) => a -> v }.toMap
+      GraftScan(path, required, eq)
+    }
+  }
+}
+
+/** metadata-only COUNT(*): one long per partition from block rowCounts */
+final case class GraftCountStarScan(path: String) extends Scan with Batch {
+  override def readSchema(): StructType =
+    StructType(Seq(StructField("count", org.apache.spark.sql.types.LongType)))
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"GraftCountStarScan path=$path (metadata-only, no decode)"
+
+  override def planInputPartitions(): Array[InputPartition] =
+    GraftScan(path, readSchema(), Map.empty).planInputPartitions()
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new PartitionReaderFactory {
+      override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+        new PartitionReader[InternalRow] {
+          private val part = p.asInstanceOf[GraftInputPartition]
+          private var done = false
+          private var count = 0L
+          override def next(): Boolean = {
+            if (done) return false
+            val conf = new Configuration()
+            // metadata-only: project the two tiny columns — the heavy
+            // `data` pages are never read, let alone decompressed
+            conf.set(org.apache.parquet.hadoop.api.ReadSupport.PARQUET_READ_SCHEMA,
+              "message g { optional binary colName (UTF8); required int32 rowCount; }")
+            var firstCol: String = null
+            part.files.foreach { f =>
+              val reader = ParquetReader
+                .builder(new GroupReadSupport(), new Path(f))
+                .withConf(conf)
+                .build()
+              try {
+                var g = reader.read()
+                while (g != null) {
+                  val c = g.getString("colName", 0)
+                  if (firstCol == null) firstCol = c
+                  if (c == firstCol) count += g.getInteger("rowCount", 0)
+                  g = reader.read()
+                }
+              } finally reader.close()
+            }
+            done = true
+            true
+          }
+          override def get(): InternalRow = InternalRow(count)
+          override def close(): Unit = ()
+        }
+    }
 }
 
 final case class GraftScan(path: String, required: StructType, eq: Map[String, String])
@@ -199,11 +273,22 @@ final class GraftPartitionReader(
     val conf = new Configuration()
     val acc = scala.collection.mutable.HashMap
       .empty[Int, scala.collection.mutable.HashMap[String, EncodedBlock]]
+    // record-level parquet filter on colName: rows of un-needed columns
+    // are never assembled (their `data` bytes are not copied out)
+    val colFilter: Option[org.apache.parquet.filter2.compat.FilterCompat.Filter] =
+      if (neededCols.isEmpty) None
+      else Some(org.apache.parquet.filter2.compat.FilterCompat.get(
+        neededCols.toSeq.sorted
+          .map(c => org.apache.parquet.filter2.predicate.FilterApi.eq(
+            org.apache.parquet.filter2.predicate.FilterApi.binaryColumn("colName"),
+            org.apache.parquet.io.api.Binary.fromString(c))
+            : org.apache.parquet.filter2.predicate.FilterPredicate)
+          .reduce(org.apache.parquet.filter2.predicate.FilterApi.or(_, _))))
     partition.files.foreach { f =>
-      val reader = ParquetReader
+      val builder0 = ParquetReader
         .builder(new GroupReadSupport(), new Path(f))
         .withConf(conf)
-        .build()
+      val reader = colFilter.fold(builder0)(builder0.withFilter).build()
       try {
         var g = reader.read()
         while (g != null) {

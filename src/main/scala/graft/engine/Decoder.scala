@@ -23,6 +23,17 @@ object Decoder {
   case object SkipBadBlocks extends OnBadBlocks
   case object WarnBadBlocks extends OnBadBlocks
 
+  /** Decode a block STORE on disk (the Checkpoint outDir layout) through
+    * the DataSource V2 reader: blocks of a row group are co-located per
+    * partition directory, so reconstruction is SHUFFLE-FREE — prefer this
+    * over `decode` (one groupByKey shuffle) whenever the blocks are on
+    * disk rather than an in-flight Dataset.
+    */
+  def decodeStore(spark: org.apache.spark.sql.SparkSession, storeDir: String,
+      cols: Seq[String]): DataFrame =
+    spark.read.format("graft").load(storeDir)
+      .select(cols.map(org.apache.spark.sql.functions.col): _*)
+
   def decode(blocks: Dataset[EncodedBlock], cols: Seq[String],
       onBad: OnBadBlocks = ErrorOnBadBlocks): DataFrame = {
     val colNames = cols.toArray

@@ -81,6 +81,29 @@ class GraftDataSourceSpec extends AnyFunSuite {
     assert(plan.contains("ReadSchema: struct<lang:string>"), plan.take(800))
   }
 
+  test("count(*) pushes down to metadata-only scan (no decode at all)") {
+    val df = spark.read.format("graft").load(store)
+    val counted = df.agg(count(lit(1)))
+    val plan = counted.queryExecution.executedPlan.toString
+    assert(plan.contains("GraftCountStarScan"), plan.take(800))
+    assert(counted.head().getLong(0) == 4000)
+    // pushdown must NOT fire when a filter is present (filters are residual)
+    val filtered = df.where(col("lang") === "en").agg(count(lit(1)))
+    val fplan = filtered.queryExecution.executedPlan.toString
+    assert(!fplan.contains("GraftCountStarScan"), fplan.take(800))
+    assert(filtered.head().getLong(0) == 800)
+  }
+
+  test("Decoder.decodeStore routes through the shuffle-free DSv2 path") {
+    val got = graft.engine.Decoder.decodeStore(spark, store,
+      Seq("doc_id_s", "text", "lang", "source"))
+    assert(got.count() == 4000)
+    assert(graft.verify.Sha256Check.mismatchGroups(
+      original, got, Seq("doc_id_s", "text", "lang", "source")) == 0)
+    val plan = got.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"must not shuffle:\n${plan.take(600)}")
+  }
+
   test("SQL over a registered graft table") {
     spark.read.format("graft").load(store).createOrReplaceTempView("graft_docs")
     val n = spark.sql(
