@@ -10,7 +10,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
-import org.apache.spark.sql.sources.{EqualTo, Filter}
+import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual, StringStartsWith}
 import org.apache.spark.sql.types.{StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -117,8 +117,14 @@ class GraftScanBuilder(path: String, schema: StructType)
   private var countStar = false
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    def known(attr: String) = schema.fieldNames.contains(attr)
     pushed = filters.collect {
-      case e @ EqualTo(attr, v: String) if schema.fieldNames.contains(attr) && v != null => e
+      case e @ EqualTo(a, v: String) if known(a) && v != null => e
+      case e @ GreaterThan(a, v: String) if known(a) && v != null => e
+      case e @ GreaterThanOrEqual(a, v: String) if known(a) && v != null => e
+      case e @ LessThan(a, v: String) if known(a) && v != null => e
+      case e @ LessThanOrEqual(a, v: String) if known(a) && v != null => e
+      case e @ StringStartsWith(a, v) if known(a) && v != null => e
     }
     // everything stays residual: block pruning is an optimization, Spark
     // still re-evaluates the predicates on the decoded rows
@@ -152,10 +158,65 @@ class GraftScanBuilder(path: String, schema: StructType)
   override def build(): Scan = {
     if (countStar) GraftCountStarScan(path)
     else {
-      val eq = pushed.collect { case EqualTo(a, v: String) => a -> v }.toMap
-      GraftScan(path, required, eq)
+      val preds = pushed.collect {
+        case EqualTo(a, v: String) => GraftPred("eq", a, v)
+        case GreaterThan(a, v: String) => GraftPred("lower", a, v)
+        case GreaterThanOrEqual(a, v: String) => GraftPred("lower", a, v)
+        case LessThan(a, v: String) => GraftPred("upper", a, v)
+        case LessThanOrEqual(a, v: String) => GraftPred("upper", a, v)
+        case StringStartsWith(a, v) => GraftPred("prefix", a, v)
+      }
+      GraftScan(path, required, preds)
     }
   }
+}
+
+/** one pushed predicate: kind ∈ eq | lower (v is a lower bound) |
+  * upper (v is an upper bound) | prefix (startsWith)
+  */
+final case class GraftPred(kind: String, col: String, value: String)
+
+/** Conservative block-skip rules over the ≤24-char min/max value PREFIXES
+  * stored on every block. A prefix P of max satisfies P ≤ max; truncation
+  * means only first-|P|-chars conclusions are sound:
+  *   - lower bound v: skip iff utf8(v take |Pmax|) > utf8(Pmax) — then the
+  *     first |Pmax| chars of v already exceed max's, so v > max;
+  *   - upper bound v: skip iff utf8(Pmin) > utf8(v) — then min ≥ Pmin > v;
+  *   - startsWith p: skip iff (lower rule with v = p) OR
+  *     (Pmin > p AND !Pmin.startsWith(p)) — every p-prefixed string < min.
+  * All rules can only SKIP blocks with no matches, never drop matches —
+  * and Spark re-applies the predicates as residuals regardless.
+  */
+object GraftPruning {
+  private def u8(s: String): Array[Byte] = s.getBytes("UTF-8")
+  private def cmp(a: String, b: String): Int =
+    java.util.Arrays.compareUnsigned(u8(a), u8(b))
+
+  /** can any value ≥ v exist in a block whose max has prefix pMax? */
+  def lowerMayMatch(pMax: String, v: String): Boolean = {
+    if (pMax == null) return true // all-null or unknown → cannot skip
+    val vk = if (v.length > pMax.length) v.substring(0, pMax.length) else v
+    cmp(vk, pMax) <= 0
+  }
+
+  /** can any value ≤ v exist in a block whose min has prefix pMin? */
+  def upperMayMatch(pMin: String, v: String): Boolean =
+    pMin == null || cmp(pMin, v) <= 0
+
+  def prefixMayMatch(pMin: String, pMax: String, p: String): Boolean = {
+    if (!lowerMayMatch(pMax, p)) return false
+    if (pMin == null) return true
+    !(cmp(pMin, p) > 0 && !pMin.startsWith(p))
+  }
+
+  /** block-level test for one predicate given the block's prefixes */
+  def blockMayMatch(pred: GraftPred, pMin: String, pMax: String): Boolean =
+    pred.kind match {
+      case "lower" => lowerMayMatch(pMax, pred.value)
+      case "upper" => upperMayMatch(pMin, pred.value)
+      case "prefix" => prefixMayMatch(pMin, pMax, pred.value)
+      case _ => true
+    }
 }
 
 /** metadata-only COUNT(*): one long per partition from block rowCounts */
@@ -167,7 +228,7 @@ final case class GraftCountStarScan(path: String) extends Scan with Batch {
     s"GraftCountStarScan path=$path (metadata-only, no decode)"
 
   override def planInputPartitions(): Array[InputPartition] =
-    GraftScan(path, readSchema(), Map.empty).planInputPartitions()
+    GraftScan(path, readSchema(), Seq.empty).planInputPartitions()
 
   override def createReaderFactory(): PartitionReaderFactory =
     new PartitionReaderFactory {
@@ -208,14 +269,22 @@ final case class GraftCountStarScan(path: String) extends Scan with Batch {
     }
 }
 
-final case class GraftScan(path: String, required: StructType, eq: Map[String, String])
+final case class GraftScan(path: String, required: StructType, preds: Seq[GraftPred])
     extends Scan with Batch {
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
-  override def description(): String =
+  override def description(): String = {
+    val shown = preds.map {
+      case GraftPred("eq", c, v) => s"$c = $v"
+      case GraftPred("lower", c, v) => s"$c >= $v"
+      case GraftPred("upper", c, v) => s"$c <= $v"
+      case GraftPred("prefix", c, v) => s"$c startswith $v"
+      case GraftPred(k, c, v) => s"$c $k $v"
+    }
     s"GraftScan path=$path, ReadSchema: ${required.catalogString}, " +
-      s"PushedFilters: [${eq.map { case (k, v) => s"$k = $v" }.mkString(", ")}]"
+      s"PushedFilters: [${shown.mkString(", ")}]"
+  }
 
   override def planInputPartitions(): Array[InputPartition] = {
     val dir = GraftDataSource.blocksDir(path)
@@ -235,17 +304,17 @@ final case class GraftScan(path: String, required: StructType, eq: Map[String, S
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    GraftReaderFactory(required.fieldNames, eq)
+    GraftReaderFactory(required.fieldNames, preds)
 }
 
 final case class GraftInputPartition(partId: Int, files: Array[String])
     extends InputPartition
 
-final case class GraftReaderFactory(requiredCols: Array[String], eq: Map[String, String])
+final case class GraftReaderFactory(requiredCols: Array[String], preds: Seq[GraftPred])
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new GraftPartitionReader(
-      partition.asInstanceOf[GraftInputPartition], requiredCols, eq)
+      partition.asInstanceOf[GraftInputPartition], requiredCols, preds)
 }
 
 /** Reads one encoder partition: loads its block rows, prunes whole blocks
@@ -256,10 +325,15 @@ final case class GraftReaderFactory(requiredCols: Array[String], eq: Map[String,
 final class GraftPartitionReader(
     partition: GraftInputPartition,
     requiredCols: Array[String],
-    eq: Map[String, String])
+    preds: Seq[GraftPred])
     extends PartitionReader[InternalRow] {
 
-  private val neededCols: Set[String] = requiredCols.toSet ++ eq.keySet
+  private val eq: Map[String, String] =
+    preds.collect { case GraftPred("eq", c, v) => c -> v }.toMap
+  private val rangePreds: Seq[GraftPred] = preds.filterNot(_.kind == "eq")
+
+  private val neededCols: Set[String] =
+    requiredCols.toSet ++ eq.keySet ++ rangePreds.map(_.col)
 
   // count(*)-style scans prune EVERY column: row multiplicity still must
   // be produced, so fall back to loading one arbitrary column's blocks
@@ -333,8 +407,14 @@ final class GraftPartitionReader(
     while (blockPos < byBlock.length) {
       val (_, cols) = byBlock(blockPos)
       blockPos += 1
-      // 1. whole-block pruning on every pushed key (cheap: dict/FoR meta)
-      val pruned = eqBytes.exists { case (k, v) =>
+      // 1a. range/prefix pruning on the block's min/max value prefixes
+      //     (no decompression at all)
+      val rangePruned = rangePreds.exists { p =>
+        cols.get(p.col).exists(b =>
+          !GraftPruning.blockMayMatch(p, b.minPrefix, b.maxPrefix))
+      }
+      // 1b. equality pruning (cheap: dict binary-search / FoR range meta)
+      val pruned = rangePruned || eqBytes.exists { case (k, v) =>
         cols.get(k).forall(b => !BlockCodec.mayContain(b, v))
       }
       if (!pruned) {

@@ -143,8 +143,11 @@ object CoreQueries {
   def joinRevenue(spark: SparkSession, sfDir: String): DataFrame = {
     val orders = load(spark, sfDir, "orders")
     val li = load(spark, sfDir, "lineitem")
-    // orders is the small side at every SF here — broadcast it
-    li.join(broadcast(orders), li("l_orderkey") === orders("o_orderkey"))
+    // no forced broadcast: Spark's size-based planning (and AQE at runtime)
+    // broadcasts orders while it fits autoBroadcastJoinThreshold and falls
+    // back to a shuffled hash join when it outgrows memory at 100× — a
+    // hard broadcast() hint would OOM there
+    li.join(orders, li("l_orderkey") === orders("o_orderkey"))
       .groupBy(col("o_orderpriority"))
       .agg(
         countDistinct(col("o_orderkey")).as("n_orders"),

@@ -81,6 +81,38 @@ class GraftDataSourceSpec extends AnyFunSuite {
     assert(plan.contains("ReadSchema: struct<lang:string>"), plan.take(800))
   }
 
+  test("prefix-based pruning rules are conservative (truncation-safe)") {
+    import GraftPruning._
+    // pMax is a PREFIX of the true max — only first-|P|-chars conclusions
+    assert(!lowerMayMatch("abc", "abd")) // max starts "abc" → max < "abd"
+    assert(lowerMayMatch("abc", "abc"))
+    assert(lowerMayMatch("abc", "ab")) // v shorter & ≤ prefix → may match
+    val truncated = "a" * 24 // stands for a longer max "aaaa...aaazzz"
+    assert(lowerMayMatch(truncated, "a" * 25)) // can't conclude → keep
+    assert(!lowerMayMatch(truncated, "b"))
+    assert(lowerMayMatch(null, "zzz")) // all-null prefix → never skip
+    assert(!upperMayMatch("abc", "abb")) // min ≥ "abc" > "abb" → skip
+    assert(upperMayMatch("abc", "abc"))
+    assert(upperMayMatch("ab", "abc")) // truncated min could still be ≤ v
+    assert(prefixMayMatch("abc", "abd", "ab")) // pMin starts with p → keep
+    assert(!prefixMayMatch("b", "c", "a")) // all p-prefixed < min → skip
+  }
+
+  test("range and startsWith filters push down and lose nothing") {
+    val base = spark.read.format("graft").load(store)
+    val ranged = base.where(col("lang") >= "en" && col("lang") < "ja")
+    val expected = original.where(col("lang") >= "en" && col("lang") < "ja")
+    assert(ranged.count() == expected.count())
+    assert(graft.verify.Sha256Check.mismatchGroups(
+      expected, ranged, Seq("doc_id_s", "text", "lang", "source")) == 0)
+    val plan = ranged.queryExecution.executedPlan.toString
+    assert(plan.contains("lang >= en") && plan.contains("lang <= ja"), plan.take(900))
+
+    val sw = base.where(col("source").startsWith("src1"))
+    assert(sw.count() == original.where(col("source").startsWith("src1")).count())
+    assert(sw.queryExecution.executedPlan.toString.contains("source startswith src1"))
+  }
+
   test("count(*) pushes down to metadata-only scan (no decode at all)") {
     val df = spark.read.format("graft").load(store)
     val counted = df.agg(count(lit(1)))
