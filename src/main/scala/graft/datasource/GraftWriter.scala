@@ -1,0 +1,204 @@
+package graft.datasource
+
+import graft.codec.Codec
+import graft.engine.BlockCodec
+import graft.plan.CodecSelector
+import graft.stats.BlockStats
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.parquet.example.data.simple.SimpleGroupFactory
+import org.apache.parquet.hadoop.example.ExampleParquetWriter
+import org.apache.parquet.schema.MessageTypeParser
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
+import org.apache.spark.sql.connector.expressions.{Expressions, SortOrder}
+import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.types.StructType
+
+/** Write side of the `graft` DataSource V2: `df.write.format("graft")
+  * .option("sortKeys", "k1,k2").save(store)` encodes string columns into
+  * the same `{blocks/partId=N}` layout the reader scans.
+  *
+  * The encoder wants co-located, sorted keys — instead of shuffling
+  * internally, the Write declares RequiresDistributionAndOrdering
+  * (clustered on the first sort key, ordered by all of them) and SPARK
+  * plans the exchange + sort. Each task then streams its rows through the
+  * block encoder exactly like Encoder.PartitionEncoder: one block of raw
+  * values per column in memory, codec plan fixed by the first block's
+  * exact stats.
+  *
+  * This is the one-shot export path; resumable encode with skew salting
+  * and manifest lineage stays in graft.engine.Checkpoint.
+  */
+class GraftWriteBuilder(path: String, info: LogicalWriteInfo)
+    extends WriteBuilder with SupportsTruncate {
+
+  private var doTruncate = false
+  override def truncate(): WriteBuilder = { doTruncate = true; this }
+
+  override def build(): Write = new Write with RequiresDistributionAndOrdering {
+    private val schema = info.schema()
+    private val sortKeys: Seq[String] = Option(info.options.get("sortKeys"))
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(Seq(schema.fieldNames.head))
+    require(sortKeys.forall(schema.fieldNames.contains),
+      s"sortKeys ${sortKeys.mkString(",")} must be columns of ${schema.fieldNames.mkString(",")}")
+
+    override def requiredDistribution(): Distribution =
+      Distributions.clustered(Array(Expressions.identity(sortKeys.head)))
+
+    override def requiredOrdering(): Array[SortOrder] =
+      sortKeys.map(k => Expressions.sort(Expressions.identity(k),
+        org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING)).toArray
+
+    override def requiredNumPartitions(): Int =
+      Option(info.options.get("numPartitions")).map(_.toInt).getOrElse(0)
+
+    override def toBatch: BatchWrite = new GraftBatchWrite(path, schema, doTruncate)
+  }
+}
+
+class GraftBatchWrite(path: String, schema: StructType, truncate: Boolean)
+    extends BatchWrite {
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
+    // clear prior content up front (driver-side) when mode = overwrite
+    if (truncate) {
+      val p = new Path(path)
+      val fs = p.getFileSystem(
+        org.apache.spark.sql.SparkSession.active.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true)
+    }
+    GraftWriterFactory(path, schema.fieldNames)
+  }
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = ()
+  override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+}
+
+final case class GraftWriterFactory(path: String, cols: Array[String])
+    extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new GraftDataWriter(path, cols, partitionId, taskId)
+}
+
+final case class GraftCommit(partitionId: Int, rows: Long) extends WriterCommitMessage
+
+/** Streams one shuffled+sorted partition into encoded blocks, written as
+  * one parquet file of EncodedBlock rows under blocks/partId=<pid>/.
+  * Bounded memory: one block of raw values per column at a time.
+  */
+final class GraftDataWriter(
+    path: String, cols: Array[String], partitionId: Int, taskId: Long)
+    extends DataWriter[InternalRow] {
+
+  private val BlockRows = 65536
+  private val BlockBytes = 32L << 20
+
+  private val nCols = cols.length
+  private var bufs = Array.fill(nCols)(
+    scala.collection.mutable.ArrayBuffer.empty[Array[Byte]])
+  private var bufBytes = 0L
+  private var blockIdx = 0
+  private var rowCount = 0L
+  private var plan: Array[Codec] = null
+  private var fsstTables: Array[graft.codec.Fsst.Table] = null
+
+  // EncodedBlock fields as written by Spark's parquet writer (partId lives
+  // in the directory name); repetitions must match the reader's projection
+  private val blockSchema = MessageTypeParser.parseMessageType(
+    """message spark_schema {
+      |  optional binary colName (UTF8);
+      |  required int32 blockIdx;
+      |  required int32 codecId;
+      |  required int32 wrapId;
+      |  required int32 rowCount;
+      |  required int64 rawBytes;
+      |  required int64 encodedBytes;
+      |  optional binary minPrefix (UTF8);
+      |  optional binary maxPrefix (UTF8);
+      |  optional binary data;
+      |}""".stripMargin)
+  private val groupFactory = new SimpleGroupFactory(blockSchema)
+
+  private val file = new Path(
+    s"$path/blocks/partId=$partitionId/part-$taskId-$partitionId.parquet")
+  private lazy val writer = {
+    val conf = new Configuration()
+    org.apache.parquet.hadoop.example.GroupWriteSupport.setSchema(blockSchema, conf)
+    ExampleParquetWriter.builder(
+        org.apache.parquet.hadoop.util.HadoopOutputFile.fromPath(file, conf))
+      .withConf(conf)
+      .withCompressionCodec(org.apache.parquet.hadoop.metadata.CompressionCodecName.SNAPPY)
+      .build()
+  }
+
+  override def write(row: InternalRow): Unit = {
+    var c = 0
+    while (c < nCols) {
+      val b =
+        if (row.isNullAt(c)) null
+        else row.getUTF8String(c).getBytes
+      bufs(c) += b
+      if (b != null) bufBytes += b.length
+      c += 1
+    }
+    rowCount += 1
+    if (bufs(0).length >= BlockRows || bufBytes >= BlockBytes) flushBlock()
+  }
+
+  private def flushBlock(): Unit = {
+    if (bufs(0).isEmpty) return
+    val arrays = bufs.map(_.toArray)
+    if (plan == null) {
+      plan = Array.tabulate(nCols)(c =>
+        CodecSelector.select(BlockStats.compute(cols(c), partitionId, arrays(c))))
+      fsstTables = new Array[graft.codec.Fsst.Table](nCols)
+      var c = 0
+      while (c < nCols) {
+        if (plan(c) eq graft.codec.Fsst)
+          fsstTables(c) = new graft.codec.Fsst.Table(
+            graft.codec.Fsst.train(arrays(c).filter(_ != null)))
+        c += 1
+      }
+    }
+    var c = 0
+    while (c < nCols) {
+      val b = BlockCodec.encodeBlock(
+        cols(c), partitionId, blockIdx, arrays(c), plan(c), 3, fsstTables(c))
+      val g = groupFactory.newGroup()
+      g.append("colName", b.colName)
+      g.append("blockIdx", b.blockIdx)
+      g.append("codecId", b.codecId.toInt)
+      g.append("wrapId", b.wrapId.toInt)
+      g.append("rowCount", b.rowCount)
+      g.append("rawBytes", b.rawBytes)
+      g.append("encodedBytes", b.encodedBytes)
+      if (b.minPrefix != null) g.append("minPrefix", b.minPrefix)
+      if (b.maxPrefix != null) g.append("maxPrefix", b.maxPrefix)
+      g.append("data", org.apache.parquet.io.api.Binary.fromConstantByteArray(b.data))
+      writer.write(g)
+      c += 1
+    }
+    blockIdx += 1
+    bufs = Array.fill(nCols)(scala.collection.mutable.ArrayBuffer.empty[Array[Byte]])
+    bufBytes = 0L
+  }
+
+  override def commit(): WriterCommitMessage = {
+    flushBlock()
+    if (rowCount > 0) writer.close()
+    GraftCommit(partitionId, rowCount)
+  }
+
+  override def abort(): Unit = {
+    try writer.close() catch { case _: Throwable => }
+    try {
+      val fs = file.getFileSystem(new Configuration())
+      fs.delete(file, false)
+      ()
+    } catch { case _: Throwable => }
+  }
+
+  override def close(): Unit = ()
+}

@@ -136,6 +136,26 @@ class GraftDataSourceSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange"), s"must not shuffle:\n${plan.take(600)}")
   }
 
+  test("DSv2 writer: df.write.format(graft) round-trips bit-identically") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-dsv2-write").toString
+    original.write.format("graft")
+      .option("sortKeys", "lang,source,doc_id_s")
+      .option("numPartitions", "4")
+      .mode("overwrite")
+      .save(dir)
+    // Spark planned the clustering+sort the encoder requires
+    val back = spark.read.format("graft").load(dir)
+    assert(back.count() == 4000)
+    assert(graft.verify.Sha256Check.mismatchGroups(
+      original, back, Seq("doc_id_s", "text", "lang", "source")) == 0)
+    // sorted clustering makes lang blocks prunable: absent value scans empty
+    assert(back.where(col("lang") === "zz").count() == 0)
+    // overwrite replaces prior content
+    original.limit(100).write.format("graft")
+      .option("sortKeys", "lang").mode("overwrite").save(dir)
+    assert(spark.read.format("graft").load(dir).count() == 100)
+  }
+
   test("SQL over a registered graft table") {
     spark.read.format("graft").load(store).createOrReplaceTempView("graft_docs")
     val n = spark.sql(
