@@ -346,13 +346,16 @@ final class GraftPartitionReader(
   // (their rowCount metadata is enough — no decode happens)
   private var countCol: String = null
 
-  // blockIdx -> colName -> block (loaded eagerly; encoded blocks are the
-  // compressed representation, so this is bounded by the partition's
-  // on-disk size)
-  private val byBlock: Array[(Int, Map[String, EncodedBlock])] = {
+  // (file, blockIdx) -> colName -> block (loaded eagerly; encoded blocks
+  // are the compressed representation, so this is bounded by the
+  // partition's on-disk size). Keyed by FILE as well as blockIdx: a
+  // partition directory may hold several files (append-mode writes,
+  // resumed jobs) and block row groups are only consistent within one file
+  // — grouping on blockIdx alone would merge unrelated groups.
+  private val byBlock: Array[((Int, Int), Map[String, EncodedBlock])] = {
     val conf = new Configuration()
     val acc = scala.collection.mutable.HashMap
-      .empty[Int, scala.collection.mutable.HashMap[String, EncodedBlock]]
+      .empty[(Int, Int), scala.collection.mutable.HashMap[String, EncodedBlock]]
     // record-level parquet filter on colName: rows of un-needed columns
     // are never assembled (their `data` bytes are not copied out)
     val colFilter: Option[org.apache.parquet.filter2.compat.FilterCompat.Filter] =
@@ -364,7 +367,7 @@ final class GraftPartitionReader(
             org.apache.parquet.io.api.Binary.fromString(c))
             : org.apache.parquet.filter2.predicate.FilterPredicate)
           .reduce(org.apache.parquet.filter2.predicate.FilterApi.or(_, _))))
-    partition.files.foreach { f =>
+    partition.files.zipWithIndex.foreach { case (f, fileIdx) =>
       val builder0 = ParquetReader
         .builder(new GroupReadSupport(), new Path(f))
         .withConf(conf)
@@ -391,7 +394,7 @@ final class GraftPartitionReader(
               strOrNull("minPrefix"),
               strOrNull("maxPrefix"),
               g.getBinary("data", 0).getBytes)
-            acc.getOrElseUpdate(b.blockIdx,
+            acc.getOrElseUpdate((fileIdx, b.blockIdx),
               scala.collection.mutable.HashMap.empty) += (colName -> b)
           }
           g = reader.read()

@@ -154,6 +154,15 @@ class GraftDataSourceSpec extends AnyFunSuite {
     original.limit(100).write.format("graft")
       .option("sortKeys", "lang").mode("overwrite").save(dir)
     assert(spark.read.format("graft").load(dir).count() == 100)
+    // append adds files to the same partition dirs: the reader must keep
+    // per-FILE block groups apart (blockIdx is only unique within a file)
+    original.limit(100).write.format("graft")
+      .option("sortKeys", "lang").mode("append").save(dir)
+    val appended = spark.read.format("graft").load(dir)
+    assert(appended.count() == 200)
+    assert(graft.verify.Sha256Check.mismatchGroups(
+      original.limit(100).unionAll(original.limit(100)), appended,
+      Seq("doc_id_s", "text", "lang", "source")) == 0)
   }
 
   test("SQL over a registered graft table") {
