@@ -68,9 +68,11 @@ object GraftDataSource {
   private def activeHadoopConf(): Configuration =
     org.apache.spark.sql.SparkSession.active.sparkContext.hadoopConfiguration
 
-  /** column names from the block store (driver-side file listing + one
-    * parquet footer read — no Spark job); all columns are string-typed,
-    * matching the encoder's binary-cast input contract
+  /** column names from the block store — METADATA-ONLY on the driver: one
+    * partition dir lists every column (the encoder writes all columns per
+    * partition), and the parquet read schema projects just `colName`, so no
+    * `data` page is ever materialized regardless of block size. All columns
+    * are string-typed, matching the encoder's binary-cast input contract.
     */
   def schemaFor(path: String): StructType = {
     val dir = blocksDir(path)
@@ -78,14 +80,15 @@ object GraftDataSource {
     val partDirs = fs.listStatus(dir).filter(_.getPath.getName.startsWith("partId="))
     require(partDirs.nonEmpty, s"no partId= directories under $dir")
     val cols = scala.collection.mutable.SortedSet.empty[String]
-    // one partition dir lists every column (encoder writes all columns per
-    // partition); scan its row groups' colName values
     val files = fs.listStatus(partDirs.head.getPath)
       .filter(_.getPath.getName.endsWith(".parquet"))
+    val conf = new Configuration(activeHadoopConf())
+    conf.set(org.apache.parquet.hadoop.api.ReadSupport.PARQUET_READ_SCHEMA,
+      "message g { optional binary colName (UTF8); }")
     files.foreach { f =>
       val reader = ParquetReader
         .builder(new GroupReadSupport(), f.getPath)
-        .withConf(activeHadoopConf())
+        .withConf(conf)
         .build()
       try {
         var g = reader.read()

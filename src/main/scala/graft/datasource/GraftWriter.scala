@@ -36,6 +36,8 @@ class GraftWriteBuilder(path: String, info: LogicalWriteInfo)
   private var doTruncate = false
   override def truncate(): WriteBuilder = { doTruncate = true; this }
 
+  private val writeId: String = java.util.UUID.randomUUID().toString.take(12)
+
   override def build(): Write = new Write with RequiresDistributionAndOrdering {
     private val schema = info.schema()
     private val sortKeys: Seq[String] = Option(info.options.get("sortKeys"))
@@ -54,42 +56,75 @@ class GraftWriteBuilder(path: String, info: LogicalWriteInfo)
     override def requiredNumPartitions(): Int =
       Option(info.options.get("numPartitions")).map(_.toInt).getOrElse(0)
 
-    override def toBatch: BatchWrite = new GraftBatchWrite(path, schema, doTruncate)
+    override def toBatch: BatchWrite = new GraftBatchWrite(path, schema, doTruncate, writeId)
   }
 }
 
-class GraftBatchWrite(path: String, schema: StructType, truncate: Boolean)
-    extends BatchWrite {
+/** Commit protocol (mirrors Checkpoint's temp-dir-then-rename manifest
+  * discipline): tasks write to `blocks/_staging-<writeId>/` (underscore
+  * dirs are invisible to spark.read AND to the graft reader's partId=
+  * listing), the driver's `commit()` renames exactly the files named in the
+  * WriterCommitMessages into `blocks/partId=N/` and deletes the staging dir
+  * — so a task attempt that died after writing (executor loss, speculation
+  * loser whose abort never ran) leaves only a straggler in staging that is
+  * swept away, never a duplicate block file the reader would double-count.
+  * Truncate is DEFERRED to commit: a failed overwrite job leaves the
+  * previous store intact.
+  */
+class GraftBatchWrite(path: String, schema: StructType, truncate: Boolean,
+    writeId: String) extends BatchWrite {
 
-  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
-    // clear prior content up front (driver-side) when mode = overwrite
-    if (truncate) {
-      val p = new Path(path)
-      val fs = p.getFileSystem(
-        org.apache.spark.sql.SparkSession.active.sparkContext.hadoopConfiguration)
-      if (fs.exists(p)) fs.delete(p, true)
+  private def hadoopConf =
+    org.apache.spark.sql.SparkSession.active.sparkContext.hadoopConfiguration
+
+  private def stagingDir = new Path(path, s"blocks/_staging-$writeId")
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+    GraftWriterFactory(path, writeId, schema.fieldNames)
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val blocks = new Path(path, "blocks")
+    val fs = blocks.getFileSystem(hadoopConf)
+    if (truncate && fs.exists(blocks)) {
+      // deferred truncate: old partitions die only once every new task has
+      // successfully committed (staging dir is spared — it holds the data)
+      fs.listStatus(blocks)
+        .filter(_.getPath.getName.startsWith("partId="))
+        .foreach(st => fs.delete(st.getPath, true))
     }
-    GraftWriterFactory(path, schema.fieldNames)
+    messages.foreach {
+      case GraftCommit(pid, rows, file) if rows > 0 && file != null =>
+        val dest = new Path(blocks, s"partId=$pid")
+        fs.mkdirs(dest)
+        val src = new Path(file)
+        if (!fs.rename(src, new Path(dest, src.getName)))
+          throw new java.io.IOException(s"commit rename failed: $src -> $dest")
+      case _ =>
+    }
+    if (fs.exists(stagingDir)) fs.delete(stagingDir, true)
   }
 
-  override def commit(messages: Array[WriterCommitMessage]): Unit = ()
-  override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val fs = stagingDir.getFileSystem(hadoopConf)
+    if (fs.exists(stagingDir)) fs.delete(stagingDir, true)
+  }
 }
 
-final case class GraftWriterFactory(path: String, cols: Array[String])
+final case class GraftWriterFactory(path: String, writeId: String, cols: Array[String])
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new GraftDataWriter(path, cols, partitionId, taskId)
+    new GraftDataWriter(path, writeId, cols, partitionId, taskId)
 }
 
-final case class GraftCommit(partitionId: Int, rows: Long) extends WriterCommitMessage
+final case class GraftCommit(partitionId: Int, rows: Long, stagedFile: String)
+    extends WriterCommitMessage
 
 /** Streams one shuffled+sorted partition into encoded blocks, written as
   * one parquet file of EncodedBlock rows under blocks/partId=<pid>/.
   * Bounded memory: one block of raw values per column at a time.
   */
 final class GraftDataWriter(
-    path: String, cols: Array[String], partitionId: Int, taskId: Long)
+    path: String, writeId: String, cols: Array[String], partitionId: Int, taskId: Long)
     extends DataWriter[InternalRow] {
 
   private val BlockRows = 65536
@@ -121,8 +156,12 @@ final class GraftDataWriter(
       |}""".stripMargin)
   private val groupFactory = new SimpleGroupFactory(blockSchema)
 
+  // staged under _staging-<writeId>; the taskId in the name keeps retried
+  // attempts distinct, the final name (assigned at driver commit) is keyed
+  // by partitionId only — exactly one attempt per partition commits
+  // (BatchWrite.useCommitCoordinator default)
   private val file = new Path(
-    s"$path/blocks/partId=$partitionId/part-$taskId-$partitionId.parquet")
+    s"$path/blocks/_staging-$writeId/part-$writeId-$partitionId-$taskId.parquet")
   private lazy val writer = {
     val conf = new Configuration()
     org.apache.parquet.hadoop.example.GroupWriteSupport.setSchema(blockSchema, conf)
@@ -188,7 +227,7 @@ final class GraftDataWriter(
   override def commit(): WriterCommitMessage = {
     flushBlock()
     if (rowCount > 0) writer.close()
-    GraftCommit(partitionId, rowCount)
+    GraftCommit(partitionId, rowCount, if (rowCount > 0) file.toString else null)
   }
 
   override def abort(): Unit = {

@@ -141,7 +141,12 @@ object Decoder {
     // (3b): full decode only for blocks with hits, materializing hit rows
     val binSchema = StructType(colNames.map(c => StructField(c, BinaryType, nullable = true)))
     val keyEnc = Encoders.tuple(Encoders.scalaInt, Encoders.scalaInt)
-    val joined = blocks.join(broadcast(hits), Seq("partId", "blockIdx"))
+    // no broadcast hint: `hits` carries an int array of every matching row
+    // index per surviving block — tiny for selective keys, but a low-
+    // selectivity key (40%+ of rows) would ship billions of indices to every
+    // executor if forced. Size-based planning / AQE picks broadcast when the
+    // hit set is actually small and a shuffled join otherwise.
+    val joined = blocks.join(hits, Seq("partId", "blockIdx"))
     val binary = joined
       .groupByKey(r => (r.getAs[Int]("partId"), r.getAs[Int]("blockIdx")))(keyEnc)
       .flatMapGroups { (_, it) =>

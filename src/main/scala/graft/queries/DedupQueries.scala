@@ -118,12 +118,15 @@ object DedupQueries {
     val docs = load(spark, sfDir, "documents")
     val sh = shingles(docs).cache()
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
-    // the HEAVY set is bounded (≤ totalShingles/cap entries) — broadcast
-    // anti-join it away rather than inner-joining the huge ok-set
+    // the HEAVY set is small relative to `sh` but its bound is
+    // totalShingles/cap — ~1% of all (doc,shingle) rows, which at 100 TB is
+    // tens of millions of strings: too big to FORCE into a broadcast. No
+    // hint: size-based planning (and AQE at runtime) broadcasts while it
+    // fits and degrades to a shuffled anti-join instead of OOMing.
     val heavy = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
       .where(col("df") > ShingleDocFreqCap)
       .select("shingle")
-    val pruned = sh.join(broadcast(heavy), Seq("shingle"), "left_anti")
+    val pruned = sh.join(heavy, Seq("shingle"), "left_anti")
     val shared = pruned.select(col("doc_id").as("doc_a"), col("shingle"))
       .join(pruned.select(col("doc_id").as("doc_b"), col("shingle")), Seq("shingle"))
       .where(col("doc_a") < col("doc_b"))

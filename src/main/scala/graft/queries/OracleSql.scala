@@ -245,6 +245,11 @@ object OracleSql {
     * and is pathologically slow.
     */
   private def embedLshCommon(maxBits: Int): String = {
+    // the planes table must cover EVERY bits value lshBitsFor can produce
+    // (cap 24): a maxBits below the runtime bits would silently drop plane
+    // indices from the join and diverge exactly at large corpus sizes
+    require(maxBits >= 24,
+      s"oracle maxBits=$maxBits < lshBitsFor cap 24 — planes table would be incomplete")
     val dim = 64
     val planeVals = (0 until EmbedQueries.LshBands * maxBits).map { idx =>
       val row = (0 until dim).map(j => EmbedQueries.planeWeight(idx, j).toString)
@@ -267,7 +272,7 @@ object OracleSql {
   }
 
   /** q_embed_lsh_buckets: per-band bucket-size histogram */
-  def embedLshBuckets(maxBits: Int = 12): String =
+  def embedLshBuckets(maxBits: Int = 24): String =
     embedLshCommon(maxBits) +
       """
         |SELECT b AS band, cnt AS bucket_size, count(*) AS n_buckets FROM (
@@ -275,7 +280,7 @@ object OracleSql {
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
   /** q_embed_lsh_topk: bucket-capped candidates + exact cosine re-rank */
-  def embedLshTopK(maxBits: Int = 12): String =
+  def embedLshTopK(maxBits: Int = 24): String =
     embedLshCommon(maxBits) +
       s""",
          |ok AS (SELECT b, s FROM sig GROUP BY b, s

@@ -82,6 +82,9 @@ object TextQueries {
         }
       }
       .toDF("lang", "doc_id", "tri", "cnt")
+      // consumed twice (profile build + scoring join): cache so the per-doc
+      // trigram flatMap — the expensive part — runs once, not twice
+      .cache()
     val profiles = tri.groupBy("lang", "tri").agg(sum(col("cnt")).as("c"))
       .withColumn("rnk", row_number().over(
         org.apache.spark.sql.expressions.Window.partitionBy("lang")

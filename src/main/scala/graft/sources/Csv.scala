@@ -50,14 +50,41 @@ object Csv {
     val df =
       if (opts.skipRows == 0) reader.csv(path)
       else {
-        // no native skipRows: drop the first N physical lines, then parse
-        // (reference: csv/CsvToIon.java:217-221)
+        // no native skipRows: drop the first N physical lines OF EACH FILE,
+        // then parse (reference: csv/CsvToIon.java:217-221 — per input
+        // file). One task per file, streaming within it: "first N lines" is
+        // a per-file, byte-order notion, so a global sort (or a
+        // monotonically_increasing_id anchor, whose order equals file order
+        // only by accident of split planning) is the wrong tool.
         import spark.implicits._
-        val lines = spark.read.text(path)
-          .select(col("value"), monotonically_increasing_id().as("__idx"))
-          .orderBy("__idx")
-          .where(col("__idx") >= opts.skipRows)
-          .select("value").as[String]
+        val skipN = opts.skipRows
+        val charset = opts.charset
+        val root = new org.apache.hadoop.fs.Path(path)
+        val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val files: Seq[String] =
+          if (fs.getFileStatus(root).isDirectory)
+            fs.listStatus(root)
+              .filter(s => s.isFile && !s.getPath.getName.startsWith("_") &&
+                !s.getPath.getName.startsWith("."))
+              .map(_.getPath.toString).sorted.toSeq
+          else Seq(root.toString)
+        val lines = files.toDS()
+          .repartition(math.max(1, files.length))
+          .flatMap { f =>
+            val p = new org.apache.hadoop.fs.Path(f)
+            val in = new java.io.BufferedReader(new java.io.InputStreamReader(
+              p.getFileSystem(new org.apache.hadoop.conf.Configuration()).open(p),
+              charset))
+            new Iterator[String] {
+              private var nextLine = advance()
+              private def advance(): String = {
+                val l = in.readLine()
+                if (l == null) { in.close(); null } else l
+              }
+              def hasNext: Boolean = nextLine != null
+              def next(): String = { val l = nextLine; nextLine = advance(); l }
+            }.drop(skipN)
+          }
         reader.csv(lines)
       }
 

@@ -126,7 +126,8 @@ object Protobuf {
   def decodeWithDescriptor(
       bytes: Array[Byte],
       desc: Descriptors.MessageD,
-      reg: Descriptors.Registry): com.fasterxml.jackson.databind.JsonNode = {
+      reg: Descriptors.Registry,
+      errorOnUnknownFields: Boolean = false): com.fasterxml.jackson.databind.JsonNode = {
     val nf = mapper.getNodeFactory
     val obj = mapper.createObjectNode()
     val byNum = desc.fields.map(f => f.number -> f).toMap
@@ -136,6 +137,12 @@ object Protobuf {
       val num = (tag >>> 3).toInt
       val wire = (tag & 7).toInt
       val fd = byNum.get(num)
+      // unknown-field policy ≙ protobuf/ProtobufToIon.java:196-200
+      // (errorOnUnknownFields): fail on a field number the descriptor does
+      // not declare, else keep it under a f<number> key
+      if (fd.isEmpty && errorOnUnknownFields)
+        throw new IllegalArgumentException(
+          s"unknown field number $num in message ${desc.fullName}")
       val key = fd.map(_.name).getOrElse(s"f$num")
       def putV(v: com.fasterxml.jackson.databind.JsonNode): Unit =
         if (fd.exists(_.repeated)) {
@@ -180,7 +187,8 @@ object Protobuf {
           fd match {
             case Some(f) if f.tpe == Descriptors.TMessage =>
               reg.messages.get(Descriptors.strip(f.typeName)) match {
-                case Some(nested) => putV(decodeWithDescriptor(payload, nested, reg))
+                case Some(nested) =>
+                  putV(decodeWithDescriptor(payload, nested, reg, errorOnUnknownFields))
                 case None => putV(decodeLengthDelimited(payload))
               }
             case Some(f) if f.tpe == Descriptors.TString =>
@@ -190,6 +198,8 @@ object Protobuf {
             case Some(f) if f.repeated && Descriptors.packable(f.tpe) =>
               // packed repeated scalars: the whole payload is a value run
               val pr = new ByteReader(payload)
+              // fixed-width packed types are 4/8-byte little-endian records,
+              // NOT varints — reading them as varints misaligns the stream
               while (pr.hasRemaining) f.tpe match {
                 case Descriptors.TFloat =>
                   var v = 0
@@ -199,6 +209,14 @@ object Protobuf {
                   var v = 0L
                   for (k <- 0 until 8) v |= (pr.readByte().toLong & 0xff) << (8 * k)
                   putV(nf.numberNode(java.lang.Double.longBitsToDouble(v)))
+                case Descriptors.TFixed32 | Descriptors.TSfixed32 =>
+                  var v = 0
+                  for (k <- 0 until 4) v |= (pr.readByte() & 0xff) << (8 * k)
+                  putV(nf.numberNode(v))
+                case Descriptors.TFixed64 | Descriptors.TSfixed64 =>
+                  var v = 0L
+                  for (k <- 0 until 8) v |= (pr.readByte().toLong & 0xff) << (8 * k)
+                  putV(nf.numberNode(v))
                 case _ => putV(varintNode(pr.readVarLong()))
               }
             case _ => putV(decodeLengthDelimited(payload))
@@ -214,7 +232,8 @@ object Protobuf {
     */
   def readDelimitedWithDescriptor(
       spark: SparkSession, path: String,
-      descriptorSet: Array[Byte], typeName: String): DataFrame = {
+      descriptorSet: Array[Byte], typeName: String,
+      errorOnUnknownFields: Boolean = false): DataFrame = {
     import spark.implicits._
     val reg = Descriptors.parseFileDescriptorSet(descriptorSet)
     val desc = Descriptors.find(reg, typeName).getOrElse(
@@ -226,7 +245,8 @@ object Protobuf {
         val out = scala.collection.mutable.ArrayBuffer.empty[String]
         while (r.hasRemaining) {
           val n = r.readVarInt()
-          out += mapper.writeValueAsString(decodeWithDescriptor(r.readBytes(n), desc, reg))
+          out += mapper.writeValueAsString(
+            decodeWithDescriptor(r.readBytes(n), desc, reg, errorOnUnknownFields))
         }
         out
       }
