@@ -53,6 +53,11 @@ object SparkEntry {
     "q_yaml_roundtrip" -> (FormatQueries.yamlRoundtripAgg _),
     "q_avro_roundtrip" -> (FormatQueries.avroRoundtripAgg _),
     "q_excel_roundtrip" -> (FormatQueries.excelRoundtripAgg _),
+    "q_json_roundtrip" -> (FormatQueries.jsonRoundtripAgg _),
+    "q_xml_roundtrip" -> (FormatQueries.xmlRoundtripAgg _),
+    "q_toon_roundtrip" -> (FormatQueries.toonRoundtripAgg _),
+    "q_protobuf_roundtrip" -> (FormatQueries.protobufRoundtripAgg _),
+    "q_markdown_stats" -> (FormatQueries.markdownStats _),
     "q_infer_schema" -> (FormatQueries.inferredSchema _)
   )
 
@@ -135,6 +140,16 @@ object SparkEntry {
         |FROM documents GROUP BY source""".stripMargin,
     "q_avro_roundtrip" ->
       """SELECT lang, count(*) AS cnt, CAST(sum(n_chars) AS BIGINT) AS total_chars
-        |FROM documents GROUP BY lang""".stripMargin
+        |FROM documents GROUP BY lang""".stripMargin,
+    "q_json_roundtrip" -> OracleSql.langRoundtripWithTextLen,
+    "q_xml_roundtrip" -> OracleSql.langRoundtripWithTextLen,
+    "q_toon_roundtrip" -> OracleSql.langRoundtripWithTextLen,
+    "q_protobuf_roundtrip" -> OracleSql.langRoundtripWithTextLen,
+    "q_markdown_stats" ->
+      """SELECT lang, count(*) AS docs,
+        |  CAST(sum(len(lang) + 2 + len(text)) AS BIGINT) AS total_txt_len,
+        |  CAST(sum(len(lang) + 2 + len(text)) AS BIGINT) AS total_rt_len
+        |FROM documents GROUP BY lang""".stripMargin,
+    "q_infer_schema" -> OracleSql.inferSchema
   )
 }

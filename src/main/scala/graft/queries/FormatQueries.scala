@@ -59,6 +59,112 @@ object FormatQueries {
         round(sum(col("n_chars"))).cast("long").as("total_chars"))
   }
 
+  /** documents → whole-file JSON array → JSONL transcode → JSONL read →
+    * per-lang aggregates (covers IonToJson array form, JsonToJsonl,
+    * JsonToIon; ref json/JsonToJsonl.java:103-191). `total_text_len` checks
+    * content fidelity through the double transcode, not just row counts.
+    */
+  def jsonRoundtripAgg(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-q-json").toString
+    val docs = load(spark, sfDir, "documents")
+    Json.writeJsonArray(docs, s"$dir/array")
+    Json.jsonToJsonl(spark, s"$dir/array", s"$dir/jsonl", newLine = false)
+    Json.read(spark, s"$dir/jsonl")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("n_chars")).cast("long").as("total_chars"),
+        sum(length(col("text"))).cast("long").as("total_text_len"))
+  }
+
+  /** documents → one XML doc per partition → StAX path-query read →
+    * per-lang aggregates (ref xml/IonToXml.java:88-171, XmlToIon.java:75-422)
+    */
+  def xmlRoundtripAgg(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-q-xml").toString
+    val docs = load(spark, sfDir, "documents")
+    Xml.write(docs, s"$dir/xml", rootName = "docs")
+    Xml.read(spark, s"$dir/xml", query = "/docs/row")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("n_chars").cast("long")).as("total_chars"),
+        sum(length(col("text"))).cast("long").as("total_text_len"))
+  }
+
+  /** documents → TOON documents (tabular form, one doc per partition) →
+    * parse back → per-lang aggregates (ref json/JsonToToon.java:99-759,
+    * ToonToJson.java:100-619 — byte-exact encode/parse means the original
+    * aggregates must reappear)
+    */
+  def toonRoundtripAgg(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-q-toon").toString
+    // round-robin repartition: every partition non-empty → one TOON doc per
+    // output file (Toon.read parses whole files)
+    val docs = load(spark, sfDir, "documents").repartition(4)
+    val toonDocs = docs.toJSON.mapPartitions { it =>
+      if (!it.hasNext) Iterator.empty
+      else {
+        val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+        val arr = mapper.createArrayNode()
+        it.foreach(j => arr.add(mapper.readTree(j)))
+        val root = mapper.createObjectNode()
+        root.set[com.fasterxml.jackson.databind.JsonNode]("rows", arr)
+        Iterator.single(Toon.render(root))
+      }
+    }
+    toonDocs.write.mode("overwrite").text(s"$dir/toon")
+    Toon.read(spark, s"$dir/toon")
+      .select(explode(col("rows")).as("r"))
+      .groupBy(col("r.lang").as("lang"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("r.n_chars")).cast("long").as("total_chars"),
+        sum(length(col("r.text"))).cast("long").as("total_text_len"))
+  }
+
+  /** documents → length-delimited protobuf stream (one file per partition)
+    * → descriptor-driven named-column read (strict unknown-field policy) →
+    * per-lang aggregates (ref protobuf/ProtobufToIon.java:84-225)
+    */
+  def protobufRoundtripAgg(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-q-pb").toString
+    val docs = load(spark, sfDir, "documents")
+    Protobuf.writeDelimited(docs, s"$dir/pb")
+    val descSet = Protobuf.buildFileDescriptorSet("graftq", "Doc",
+      Protobuf.schemaDescriptorFields(docs.schema))
+    Protobuf.readDelimitedWithDescriptor(spark, s"$dir/pb", descSet, "graftq.Doc",
+        errorOnUnknownFields = true)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("n_chars")).cast("long").as("total_chars"),
+        sum(length(col("text"))).cast("long").as("total_text_len"))
+  }
+
+  /** markdown suite stats: documents rendered as markdown, stripped back to
+    * plain text via the native MdToText expression, AND round-tripped
+    * md → html → md → text (ref markdown/MarkdownToText.java:114-165,
+    * MarkdownToHtml.java:93-95, HtmlToMarkdown.java:97-202). Both lengths
+    * must equal len(lang) + 2 + len(text) — the DuckDB oracle recomputes
+    * that from the original table, so a drifting renderer fails the hash.
+    */
+  def markdownStats(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val docs = load(spark, sfDir, "documents")
+    val md = docs.select(col("lang"),
+      concat(lit("# "), col("lang"), lit("\n\n"), col("text")).as("md"))
+    Markdown.mdToTextCol(md, "md", "txt")
+      .select(col("lang"), col("txt"), col("md"))
+      .as[(String, String, String)]
+      .map { case (lang, txt, m) =>
+        val roundTripped = Markdown.toText(Markdown.htmlToMarkdown(Markdown.toHtml(m)))
+        (lang, txt.length.toLong, roundTripped.length.toLong)
+      }
+      .toDF("lang", "txt_len", "rt_len")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("docs"),
+        sum(col("txt_len")).cast("long").as("total_txt_len"),
+        sum(col("rt_len")).cast("long").as("total_rt_len"))
+  }
+
   /** inferred schema of the CSV projection of documents (rows-only) */
   def inferredSchema(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._

@@ -30,6 +30,45 @@ object OracleSql {
     s"""((($a % $Half) * ${c}::HUGEINT
        |+ ((($a // $Half) * ${c}::HUGEINT) % $Half) * $Half) % $Mod)""".stripMargin
 
+  /** shared oracle for the serde round-trip queries (json/xml/toon/
+    * protobuf): per-lang counts plus character totals of BOTH the carried
+    * n_chars field and the round-tripped text itself — a lossy transcode
+    * fails the text-length hash even when row counts survive
+    */
+  val langRoundtripWithTextLen: String =
+    """SELECT lang, count(*) AS cnt, CAST(sum(n_chars) AS BIGINT) AS total_chars,
+      |  CAST(sum(len(text)) AS BIGINT) AS total_text_len
+      |FROM documents GROUP BY lang""".stripMargin
+
+  /** q_infer_schema: re-derives the inference lattice outcome per column
+    * from the data itself (InferSchema.classify semantics: integer regex +
+    * int32 range → int, wider integer → bigint, numeric → double, else
+    * string; all-null → string). Derived over ALL rows where Spark samples
+    * 100 — equal whenever column types are stable, which is itself part of
+    * what the check asserts.
+    */
+  val inferSchema: String =
+    """WITH vals AS (
+      |  SELECT 'doc_id' AS col_name, CAST(doc_id AS VARCHAR) AS v FROM documents
+      |  UNION ALL SELECT 'text', text FROM documents
+      |  UNION ALL SELECT 'lang', lang FROM documents
+      |  UNION ALL SELECT 'source', source FROM documents
+      |  UNION ALL SELECT 'n_chars', CAST(n_chars AS VARCHAR) FROM documents)
+      |SELECT col_name,
+      |  CASE
+      |    WHEN bool_and(v IS NULL) OR count(v) = 0 THEN 'string'
+      |    WHEN bool_and(regexp_matches(trim(v), '^[+-]?[0-9]+$'))
+      |         AND max(TRY_CAST(trim(v) AS HUGEINT)) <= 2147483647
+      |         AND min(TRY_CAST(trim(v) AS HUGEINT)) >= -2147483648 THEN 'int'
+      |    WHEN bool_and(regexp_matches(trim(v), '^[+-]?[0-9]+$'))
+      |         AND max(TRY_CAST(trim(v) AS HUGEINT)) <= 9223372036854775807
+      |         AND min(TRY_CAST(trim(v) AS HUGEINT)) >= -9223372036854775808 THEN 'bigint'
+      |    WHEN bool_and(regexp_matches(trim(v),
+      |      '^[+-]?([0-9]+|[0-9]+\.[0-9]*|\.[0-9]+)([eE][+-]?[0-9]+)?$')) THEN 'double'
+      |    ELSE 'string'
+      |  END AS inferred_type
+      |FROM vals GROUP BY col_name ORDER BY col_name""".stripMargin
+
   /** q_quality_score: integer char/token/stopword stats per doc */
   val qualityScore: String =
     """SELECT doc_id, CAST(len(text) AS BIGINT) AS n_chars,

@@ -20,17 +20,104 @@ import org.apache.spark.sql.types._
   */
 object Avro {
 
+  /** read-side per-record policy ≙ reference avro/AvroToIon.java:160-169
+    * (onBadLines on decode): ERROR fails the job, WARN logs + drops, SKIP
+    * silently drops. Applies to undecodable records (corrupt blocks) and to
+    * records failing the recursive schema validation.
+    */
+  sealed trait OnBadRecords
+  case object ErrorOnBad extends OnBadRecords
+  case object WarnOnBad extends OnBadRecords
+  case object SkipOnBad extends OnBadRecords
+
+  /** recursive null-in-non-nullable + type instance validation against the
+    * container's own schema ≙ avro/AvroToIon.java:197-249 validateFieldType
+    */
+  private[sources] def validate(v: AnyRef, s: Schema): Option[String] = {
+    import scala.jdk.CollectionConverters._
+    s.getType match {
+      case Schema.Type.UNION =>
+        val branches = s.getTypes.asScala
+        if (branches.exists(b => validate(v, b).isEmpty)) None
+        else Some(s"value ${trim250(v)} matches no union branch of $s")
+      case Schema.Type.NULL => if (v == null) None else Some(s"non-null ${trim250(v)} for null schema")
+      case _ if v == null => Some(s"null value for non-nullable ${s.getType}")
+      case Schema.Type.RECORD =>
+        val rec = v.asInstanceOf[GenericRecord]
+        s.getFields.asScala.iterator
+          .flatMap(f => validate(rec.get(f.pos()), f.schema())
+            .map(e => s"field ${f.name()}: $e"))
+          .nextOption()
+      case Schema.Type.ARRAY =>
+        v.asInstanceOf[java.util.Collection[AnyRef]].asScala.iterator
+          .flatMap(e => validate(e, s.getElementType)).nextOption()
+      case Schema.Type.MAP =>
+        v.asInstanceOf[java.util.Map[AnyRef, AnyRef]].values().asScala.iterator
+          .flatMap(e => validate(e, s.getValueType)).nextOption()
+      case Schema.Type.STRING =>
+        if (v.isInstanceOf[CharSequence]) None else Some(s"${trim250(v)} not a string")
+      case Schema.Type.INT =>
+        if (v.isInstanceOf[java.lang.Integer]) None else Some(s"${trim250(v)} not an int")
+      case Schema.Type.LONG =>
+        if (v.isInstanceOf[java.lang.Long]) None else Some(s"${trim250(v)} not a long")
+      case Schema.Type.FLOAT =>
+        if (v.isInstanceOf[java.lang.Float]) None else Some(s"${trim250(v)} not a float")
+      case Schema.Type.DOUBLE =>
+        if (v.isInstanceOf[java.lang.Double]) None else Some(s"${trim250(v)} not a double")
+      case Schema.Type.BOOLEAN =>
+        if (v.isInstanceOf[java.lang.Boolean]) None else Some(s"${trim250(v)} not a boolean")
+      case Schema.Type.BYTES | Schema.Type.FIXED | Schema.Type.ENUM => None
+      case _ => None
+    }
+  }
+
+  /** 250-char data echo in errors, the reference's trimExceptionMessage
+    * discipline (avro/AvroConverter.java:619-627)
+    */
+  private def trim250(v: AnyRef): String = {
+    val s = String.valueOf(v)
+    if (s.length <= 250) s else s.take(250) + "…"
+  }
+
   /** one row per record across all container files under `path` */
-  def read(spark: SparkSession, path: String): DataFrame = {
+  def read(spark: SparkSession, path: String,
+      onBadLines: OnBadRecords = ErrorOnBad): DataFrame = {
     import spark.implicits._
     val bin = spark.read.format("binaryFile").load(path)
       .select("content").as[Array[Byte]]
     val jsonRows = bin.flatMap { bytes =>
       val in = new java.io.ByteArrayInputStream(bytes)
       val stream = new DataFileStream[GenericRecord](in, new GenericDatumReader[GenericRecord]())
+      val schema = stream.getSchema
       val out = scala.collection.mutable.ArrayBuffer.empty[String]
-      while (stream.hasNext) out += stream.next().toString // GenericRecord.toString is JSON
-      stream.close()
+      def bad(msg: String): Unit = onBadLines match {
+        case ErrorOnBad => throw new IllegalStateException(s"bad avro record: $msg")
+        case WarnOnBad => System.err.println(s"[graft] skipping bad avro record: $msg")
+        case SkipOnBad =>
+      }
+      try {
+        // a decode failure poisons the stream (bad block / sync marker):
+        // apply the policy, then stop reading this file — the reference's
+        // onErrorResume terminates its Flux the same way. hasNext itself
+        // reads block headers, so it is inside the guard too.
+        var corrupt = false
+        while (!corrupt) {
+          val rec: GenericRecord =
+            try { if (stream.hasNext) stream.next() else { corrupt = true; null } }
+            catch {
+              case scala.util.control.NonFatal(e) =>
+                corrupt = true
+                bad(s"undecodable record: ${e.getClass.getSimpleName} ${e.getMessage}")
+                null
+            }
+          if (rec != null) validate(rec, schema) match {
+            case None => out += rec.toString // GenericRecord.toString is JSON
+            case Some(err) => bad(err)
+          }
+        }
+      } finally {
+        try stream.close() catch { case scala.util.control.NonFatal(_) => }
+      }
       out
     }
     spark.read.json(jsonRows)

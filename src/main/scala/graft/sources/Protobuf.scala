@@ -253,6 +253,91 @@ object Protobuf {
     spark.read.json(json)
   }
 
+  /** distributed length-delimited export (the inverse of readDelimited):
+    * one binary file per partition (same shape as Excel.write's
+    * one-workbook-per-partition), each row encoded as a varint-size-prefixed
+    * message. Field numbers are column positions + 1; long/int columns →
+    * int64 varints, everything else → string. Pairs with
+    * `buildFileDescriptorSet(schemaDescriptorFields(df.schema))` for a
+    * named-column descriptor-driven read-back.
+    */
+  def writeDelimited(df: DataFrame, path: String): Unit = {
+    val schema = df.schema
+    new java.io.File(path).mkdirs()
+    df.foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
+      if (rows.hasNext) {
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        val f = new java.io.File(path, f"part-$pid%05d.bin")
+        val out = new java.io.BufferedOutputStream(new java.io.FileOutputStream(f))
+        val w = new graft.codec.ByteWriter()
+        val lenW = new graft.codec.ByteWriter()
+        try rows.foreach { row =>
+          w.clear()
+          var i = 0
+          while (i < schema.fields.length) {
+            if (!row.isNullAt(i)) schema.fields(i).dataType match {
+              case org.apache.spark.sql.types.LongType =>
+                encodeVarintField(w, i + 1, row.getLong(i))
+              case org.apache.spark.sql.types.IntegerType =>
+                encodeVarintField(w, i + 1, row.getInt(i).toLong)
+              case org.apache.spark.sql.types.StringType =>
+                encodeStringField(w, i + 1, row.getString(i))
+              case _ =>
+                encodeStringField(w, i + 1, String.valueOf(row.get(i)))
+            }
+            i += 1
+          }
+          val msg = w.result()
+          lenW.clear()
+          lenW.writeVarInt(msg.length)
+          out.write(lenW.result())
+          out.write(msg)
+        } finally out.close()
+      }
+      ()
+    }
+  }
+
+  /** descriptor-set fields for a flat Spark schema: (name, number, type)
+    * with int64 for integral columns and string otherwise — the projection
+    * writeDelimited encodes
+    */
+  def schemaDescriptorFields(schema: org.apache.spark.sql.types.StructType)
+      : Seq[(String, Int, Int)] =
+    schema.fields.toSeq.zipWithIndex.map { case (f, i) =>
+      val t = f.dataType match {
+        case org.apache.spark.sql.types.LongType |
+             org.apache.spark.sql.types.IntegerType => Descriptors.TInt64
+        case _ => Descriptors.TString
+      }
+      (f.name, i + 1, t)
+    }
+
+  /** assemble a compiled FileDescriptorSet (the wire form protoc emits) for
+    * one flat message — built with the same minimal encoder, per the public
+    * descriptor.proto field numbers documented on `Descriptors`
+    */
+  def buildFileDescriptorSet(pkg: String, message: String,
+      fields: Seq[(String, Int, Int)]): Array[Byte] = {
+    val m = new graft.codec.ByteWriter()
+    encodeStringField(m, 1, message)
+    fields.foreach { case (n, num, t) =>
+      val fw = new graft.codec.ByteWriter()
+      encodeStringField(fw, 1, n)
+      encodeVarintField(fw, 3, num.toLong)
+      encodeVarintField(fw, 4, 1L) // LABEL_OPTIONAL
+      encodeVarintField(fw, 5, t.toLong)
+      encodeMessageField(m, 2, fw.result())
+    }
+    val file = new graft.codec.ByteWriter()
+    encodeStringField(file, 1, s"$pkg.proto")
+    encodeStringField(file, 2, pkg)
+    encodeMessageField(file, 4, m.result())
+    val set = new graft.codec.ByteWriter()
+    encodeMessageField(set, 1, file.result())
+    set.result()
+  }
+
   // ---- minimal encoder (for tests / round-trips) ----
   def encodeVarintField(w: graft.codec.ByteWriter, field: Int, v: Long): Unit = {
     w.writeVarLong((field.toLong << 3) | 0)

@@ -165,6 +165,57 @@ class GraftDataSourceSpec extends AnyFunSuite {
       Seq("doc_id_s", "text", "lang", "source")) == 0)
   }
 
+  test("writer commit protocol: unreported attempts never duplicate rows") {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.unsafe.types.UTF8String
+    import org.apache.spark.sql.types.{StringType, StructField, StructType}
+    spark.sparkContext.setLogLevel("WARN") // force session init
+    val dir = java.nio.file.Files.createTempDirectory("graft-commit").toString
+    val schema = StructType(Seq(
+      StructField("k", StringType), StructField("v", StringType)))
+    val bw = new GraftBatchWrite(dir, schema, truncate = false, writeId = "w1")
+    val factory = bw.createBatchWriterFactory(null)
+    def rows: Seq[InternalRow] = (0 until 40).map(i =>
+      InternalRow(UTF8String.fromString(s"k$i"), UTF8String.fromString(s"v$i")))
+    // attempt 1 writes and even task-commits (file staged), but its message
+    // never reaches the driver — executor lost / speculation loser
+    val loser = factory.createWriter(0, 1L)
+    rows.foreach(loser.write)
+    loser.commit()
+    // attempt 2 is the one the commit coordinator admits
+    val winner = factory.createWriter(0, 2L)
+    rows.foreach(winner.write)
+    val msg = winner.commit()
+    bw.commit(Array(msg))
+    // exactly one attempt's rows visible; staging (with the straggler) swept
+    val back = spark.read.format("graft").load(dir)
+    assert(back.count() == 40)
+    val staged = new java.io.File(dir, "blocks").listFiles()
+      .filter(_.getName.startsWith("_staging"))
+    assert(staged.isEmpty, s"staging not swept: ${staged.mkString(",")}")
+  }
+
+  test("writer truncate is deferred: a failed overwrite keeps the old store") {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.unsafe.types.UTF8String
+    import org.apache.spark.sql.types.{StringType, StructField, StructType}
+    val dir = java.nio.file.Files.createTempDirectory("graft-trunc").toString
+    original.limit(100).write.format("graft")
+      .option("sortKeys", "lang").mode("overwrite").save(dir)
+    assert(spark.read.format("graft").load(dir).count() == 100)
+    // an overwrite job that stages data but ABORTS must leave the old store
+    val schema = StructType(Seq(StructField("k", StringType)))
+    val bw = new GraftBatchWrite(dir, schema, truncate = true, writeId = "w2")
+    val w = bw.createBatchWriterFactory(null).createWriter(0, 9L)
+    w.write(InternalRow(UTF8String.fromString("x")))
+    val m = w.commit()
+    bw.abort(Array(m))
+    assert(spark.read.format("graft").load(dir).count() == 100,
+      "failed overwrite must not destroy the previous store")
+    assert(spark.read.format("graft").load(dir).columns.toSeq
+      == Seq("doc_id_s", "lang", "source", "text"))
+  }
+
   test("SQL over a registered graft table") {
     spark.read.format("graft").load(store).createOrReplaceTempView("graft_docs")
     val n = spark.sql(

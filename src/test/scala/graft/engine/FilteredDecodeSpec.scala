@@ -34,6 +34,21 @@ class FilteredDecodeSpec extends AnyFunSuite {
     blocks.unpersist(); df.unpersist()
   }
 
+  test("decodeWhereEq late-materialization join has no forced broadcast") {
+    // the hit list carries per-block row-index arrays; for low-selectivity
+    // keys that is too big to force onto every executor — the plan must
+    // leave the join strategy to size-based planning (no hint node)
+    val df = DataGen.table(spark,
+      DataGen.GenConfig(rows = 2000, parts = 4)).toDF()
+    val blocks = Encoder.encode(df, cols, Seq("repo", "path", "commit"),
+      Encoder.EncodeConfig(numPartitions = 4, blockRows = 512))
+    val q = Decoder.decodeWhereEq(blocks, cols, "lang", "scala")
+    val hints = q.queryExecution.analyzed.collect {
+      case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
+    }
+    assert(hints.isEmpty, s"late-materialization join must not force a strategy: $hints")
+  }
+
   test("point lookup on a unique path touches few blocks") {
     val df = DataGen.table(spark,
       DataGen.GenConfig(rows = 5000, parts = 8)).toDF().cache()

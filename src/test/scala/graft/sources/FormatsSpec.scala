@@ -113,6 +113,36 @@ class FormatsSpec extends AnyFunSuite {
     assert(sortedRows(back.select(df.columns.map(col): _*)) == sortedRows(df))
   }
 
+  test("avro read-side onBadLines: ERROR throws, SKIP/WARN salvage the prefix") {
+    val dir = tmp()
+    val df = fixture
+    Avro.write(df.repartition(1), s"$dir/avro", codec = "null")
+    // corrupt the container's data block structurally — mirrors the
+    // reference's bad-record fixtures (avro/AvroToIon.java:160-169
+    // ERROR/WARN/SKIP on decode). The block starts right after the header's
+    // sync marker (== the file's last 16 bytes); 12 bytes of 0xFF there form
+    // an invalid >10-byte varint. (Plain truncation is NOT detectable: avro
+    // treats a partial trailing block as clean EOF.)
+    val f = new java.io.File(s"$dir/avro").listFiles()
+      .filter(_.getName.endsWith(".avro")).head
+    val bytes = java.nio.file.Files.readAllBytes(f.toPath)
+    val sync = java.util.Arrays.copyOfRange(bytes, bytes.length - 16, bytes.length)
+    val syncPos = (0 until bytes.length - 32).find(i =>
+      java.util.Arrays.equals(
+        java.util.Arrays.copyOfRange(bytes, i, i + 16), sync)).get
+    for (k <- (syncPos + 18) until (syncPos + 30)) bytes(k) = 0xFF.toByte
+    java.nio.file.Files.write(f.toPath, bytes)
+    val err = intercept[org.apache.spark.SparkException] {
+      Avro.read(spark, s"$dir/avro", Avro.ErrorOnBad).count()
+    }
+    assert(err.getMessage.contains("bad avro record") ||
+      Option(err.getCause).exists(_.getMessage.contains("bad avro record")))
+    // SKIP and WARN keep whatever decodes cleanly before the corruption
+    val skipped = Avro.read(spark, s"$dir/avro", Avro.SkipOnBad).count()
+    assert(skipped < 4, s"corrupt tail must drop records, got $skipped")
+    assert(Avro.read(spark, s"$dir/avro", Avro.WarnOnBad).count() == skipped)
+  }
+
   test("parquet round-trip with reference knobs (gzip, dictionary, v2)") {
     val dir = tmp()
     val df = fixture

@@ -223,4 +223,82 @@ class MarkdownProtobufSpec extends AnyFunSuite {
     assert(r.getAs[Seq[org.apache.spark.sql.Row]]("phones")
       .map(_.getAs[String]("ptype")).toSet == Set("HOME", "WORK"))
   }
+
+  test("packed fixed-width repeateds decode as 4/8-byte LE records, not varints") {
+    // message Packed { repeated fixed32 f32 = 1; repeated sfixed32 sf32 = 2;
+    //                  repeated fixed64 f64 = 3; repeated sfixed64 sf64 = 4; }
+    val packed = msgBytes { w =>
+      s(w, 1, "Packed")
+      m(w, 2, fieldDesc("f32", 1, 3, 7)) // TFixed32
+      m(w, 2, fieldDesc("sf32", 2, 3, 15)) // TSfixed32
+      m(w, 2, fieldDesc("f64", 3, 3, 6)) // TFixed64
+      m(w, 2, fieldDesc("sf64", 4, 3, 16)) // TSfixed64
+    }
+    val fileProto = msgBytes { w =>
+      s(w, 1, "packed.proto"); s(w, 2, "test"); m(w, 4, packed)
+    }
+    val set = msgBytes(w => m(w, 1, fileProto))
+    val reg = Descriptors.parseFileDescriptorSet(set)
+    val desc = Descriptors.find(reg, "test.Packed").get
+
+    def le(w: ByteWriter, v: Long, bytes: Int): Unit =
+      for (k <- 0 until bytes) w.writeByte(((v >>> (8 * k)) & 0xff).toInt)
+    val msg = msgBytes { w =>
+      // values chosen so a varint misread would desync: 300 has bit 8 set,
+      // -2 is all-ones in two's complement
+      w.writeVarLong((1L << 3) | 2); w.writeVarInt(8)
+      le(w, 300L, 4); le(w, 7L, 4)
+      w.writeVarLong((2L << 3) | 2); w.writeVarInt(4)
+      le(w, -2L & 0xffffffffL, 4)
+      w.writeVarLong((3L << 3) | 2); w.writeVarInt(16)
+      le(w, 1L << 40, 8); le(w, 5L, 8)
+      w.writeVarLong((4L << 3) | 2); w.writeVarInt(8)
+      le(w, -3L, 8)
+    }
+    val node = Protobuf.decodeWithDescriptor(msg, desc, reg)
+    assert(node.get("f32").get(0).asLong() == 300L)
+    assert(node.get("f32").get(1).asLong() == 7L)
+    assert(node.get("sf32").get(0).asInt() == -2)
+    assert(node.get("f64").get(0).asLong() == (1L << 40))
+    assert(node.get("f64").get(1).asLong() == 5L)
+    assert(node.get("sf64").get(0).asLong() == -3L)
+  }
+
+  test("errorOnUnknownFields: throw vs keep f<number>") {
+    val reg = Descriptors.parseFileDescriptorSet(personDescriptorSet)
+    val desc = Descriptors.find(reg, "test.Person").get
+    val withUnknown = msgBytes { w =>
+      s(w, 1, "Bob")
+      vint(w, 99, 42) // field 99 not in the descriptor
+    }
+    val lenient = Protobuf.decodeWithDescriptor(withUnknown, desc, reg)
+    assert(lenient.get("name").asText() == "Bob")
+    assert(lenient.get("f99").asLong() == 42L)
+    val e = intercept[IllegalArgumentException] {
+      Protobuf.decodeWithDescriptor(withUnknown, desc, reg,
+        errorOnUnknownFields = true)
+    }
+    assert(e.getMessage.contains("unknown field number 99"))
+  }
+
+  test("writeDelimited + built descriptor set round-trips a DataFrame") {
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[2]").appName("graft-proto-rt-spec")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    val df = Seq((1L, "alpha beta", "en"), (2L, "gamma", "fr"), (3L, "delta", "en"))
+      .toDF("id", "text", "lang")
+    val dir = java.nio.file.Files.createTempDirectory("graft-proto-rt").toString
+    Protobuf.writeDelimited(df, s"$dir/pb")
+    val set = Protobuf.buildFileDescriptorSet("t", "Row",
+      Protobuf.schemaDescriptorFields(df.schema))
+    val back = Protobuf.readDelimitedWithDescriptor(spark, s"$dir/pb", set, "t.Row",
+      errorOnUnknownFields = true)
+    assert(back.count() == 3)
+    assert(back.columns.sorted.toSeq == Seq("id", "lang", "text"))
+    assert(back.where(org.apache.spark.sql.functions.col("lang") === "en")
+      .agg(org.apache.spark.sql.functions.sum("id")).head().getLong(0) == 4L)
+    assert(back.where($"id" === 1L).head().getAs[String]("text") == "alpha beta")
+  }
 }
