@@ -81,8 +81,16 @@ object Fsst extends Codec {
     // stay for training, where tables are tiny); single-byte symbols get a
     // direct 256-entry code table. Hot buckets shrink from "all symbols
     // sharing one byte" to "all symbols sharing two", typically 1–2 entries.
-    private val mini: Array[Array[Long]] = {
-      val m = new Array[Array[Long]](65536)
+    //
+    // Storage is FLAT: a 65536-entry int index (offset<<4 | count, in
+    // triplets) into one shared ≤6 KiB triplet array — ≤255 symbols × 3
+    // longs stays L1-resident, vs. a 512 KiB array of pointers to scattered
+    // small arrays whose dependent loads miss cache on every hot position.
+    private val miniIdx: Array[Int] = new Array[Int](65536) // (offset<<9)|count
+    private val miniData: Array[Long] = {
+      // group len≥2 symbols by (b0, b1): (pairIdx, bucketPos) keeps the
+      // len-desc bucket order within each pair group
+      val byPair = scala.collection.mutable.TreeMap.empty[Int, List[(Int, Int)]]
       var b0 = 0
       while (b0 < 256) {
         val list = buckets(b0)
@@ -92,19 +100,25 @@ object Fsst extends Codec {
           if (len >= 2) {
             val b1 = ((list(i + 1) >>> 8) & 0xffL).toInt
             val idx = (b0 << 8) | b1
-            val prev = m(idx)
-            val next = if (prev == null) new Array[Long](3)
-                       else java.util.Arrays.copyOf(prev, prev.length + 3)
-            next(next.length - 3) = list(i)
-            next(next.length - 2) = list(i + 1)
-            next(next.length - 1) = list(i + 2)
-            m(idx) = next // appended in bucket order = len-desc ✓
+            byPair(idx) = byPair.getOrElse(idx, Nil) :+ ((b0, i))
           }
           i += 3
         }
         b0 += 1
       }
-      m
+      val data = new Array[Long](byPair.valuesIterator.map(_.length).sum * 3)
+      var off = 0
+      byPair.foreach { case (idx, entries) =>
+        miniIdx(idx) = (off << 9) | entries.length // ≤255 symbols → both fit
+        entries.foreach { case (bb0, i) =>
+          val list = buckets(bb0)
+          data(off) = list(i)
+          data(off + 1) = list(i + 1)
+          data(off + 2) = list(i + 2)
+          off += 3
+        }
+      }
+      data
     }
 
     /** packed (code<<8 | 1) of the single-byte symbol per first byte; -1 if none */
@@ -131,23 +145,23 @@ object Fsst extends Codec {
       val b0 = data(pos) & 0xff
       val avail = end - pos
       if (avail >= 2) {
-        val list = mini((b0 << 8) | (data(pos + 1) & 0xff))
-        if (list != null) {
+        val oc = miniIdx((b0 << 8) | (data(pos + 1) & 0xff))
+        if (oc != 0) {
+          var i = oc >>> 9
+          val stop = i + (oc & 0x1ff) * 3
           if (avail >= 8) {
             val w = LE_LONG.get(data, pos).asInstanceOf[Long]
-            var i = 0
-            while (i < list.length) {
-              if ((w & list(i)) == list(i + 1)) return list(i + 2).toInt
+            while (i < stop) {
+              if ((w & miniData(i)) == miniData(i + 1)) return miniData(i + 2).toInt
               i += 3
             }
           } else {
             var w = 0L
             var j = 0
             while (j < avail) { w |= (data(pos + j).toLong & 0xffL) << (8 * j); j += 1 }
-            var i = 0
-            while (i < list.length) {
-              if ((list(i + 2) & 0xffL) <= avail && (w & list(i)) == list(i + 1))
-                return list(i + 2).toInt
+            while (i < stop) {
+              if ((miniData(i + 2) & 0xffL) <= avail && (w & miniData(i)) == miniData(i + 1))
+                return miniData(i + 2).toInt
               i += 3
             }
           }

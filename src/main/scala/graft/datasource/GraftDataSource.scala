@@ -326,10 +326,20 @@ final case class GraftReaderFactory(requiredCols: Array[String], preds: Seq[Graf
       partition.asInstanceOf[GraftInputPartition], requiredCols, preds)
 }
 
-/** Reads one encoder partition: loads its block rows, prunes whole blocks
-  * via min/max-free mayContain on the filter column, decodes only the
-  * needed columns of surviving blocks, emits matching rows. Holds at most
-  * one block-row-group of decoded columns in memory.
+/** Reads one encoder partition as a STREAM of block groups: block rows of
+  * each file are grouped by consecutive blockIdx runs (both graft writers
+  * emit a partition's blocks column-interleaved in increasing blockIdx
+  * order, so one run == one row group), each group is pruned via min/max
+  * prefixes + mayContain on the filter columns, and only surviving groups
+  * decode the needed columns. Memory is bounded by ONE block group (plus
+  * the parquet reader's own row-group buffer) — never the whole partition,
+  * which at 100 TB can be arbitrarily many blocks.
+  *
+  * Groups are keyed per FILE: a partition directory may hold several files
+  * (append-mode writes, resumed jobs) and blockIdx is only unique within
+  * one file. A non-monotonic blockIdx inside a file would mean the store
+  * was not written by a graft writer; the reader fails loudly rather than
+  * risk a silently split group (missing column → null).
   */
 final class GraftPartitionReader(
     partition: GraftInputPartition,
@@ -345,80 +355,102 @@ final class GraftPartitionReader(
     requiredCols.toSet ++ eq.keySet ++ rangePreds.map(_.col)
 
   // count(*)-style scans prune EVERY column: row multiplicity still must
-  // be produced, so fall back to loading one arbitrary column's blocks
+  // be produced, so fall back to reading one arbitrary column's blocks
   // (their rowCount metadata is enough — no decode happens)
   private var countCol: String = null
 
-  // (file, blockIdx) -> colName -> block (loaded eagerly; encoded blocks
-  // are the compressed representation, so this is bounded by the
-  // partition's on-disk size). Keyed by FILE as well as blockIdx: a
-  // partition directory may hold several files (append-mode writes,
-  // resumed jobs) and block row groups are only consistent within one file
-  // — grouping on blockIdx alone would merge unrelated groups.
-  private val byBlock: Array[((Int, Int), Map[String, EncodedBlock])] = {
-    val conf = new Configuration()
-    val acc = scala.collection.mutable.HashMap
-      .empty[(Int, Int), scala.collection.mutable.HashMap[String, EncodedBlock]]
-    // record-level parquet filter on colName: rows of un-needed columns
-    // are never assembled (their `data` bytes are not copied out)
-    val colFilter: Option[org.apache.parquet.filter2.compat.FilterCompat.Filter] =
-      if (neededCols.isEmpty) None
-      else Some(org.apache.parquet.filter2.compat.FilterCompat.get(
-        neededCols.toSeq.sorted
-          .map(c => org.apache.parquet.filter2.predicate.FilterApi.eq(
-            org.apache.parquet.filter2.predicate.FilterApi.binaryColumn("colName"),
-            org.apache.parquet.io.api.Binary.fromString(c))
-            : org.apache.parquet.filter2.predicate.FilterPredicate)
-          .reduce(org.apache.parquet.filter2.predicate.FilterApi.or(_, _))))
-    partition.files.zipWithIndex.foreach { case (f, fileIdx) =>
-      val builder0 = ParquetReader
-        .builder(new GroupReadSupport(), new Path(f))
-        .withConf(conf)
-      val reader = colFilter.fold(builder0)(builder0.withFilter).build()
-      try {
-        var g = reader.read()
-        while (g != null) {
-          val colName = g.getString("colName", 0)
-          if (neededCols.isEmpty && countCol == null) countCol = colName
-          if (neededCols.contains(colName) ||
-              (neededCols.isEmpty && colName == countCol)) {
-            def strOrNull(field: String): String =
-              if (g.getFieldRepetitionCount(field) == 0) null
-              else g.getString(field, 0)
-            val b = EncodedBlock(
-              colName,
-              partition.partId,
-              g.getInteger("blockIdx", 0),
-              g.getInteger("codecId", 0).toByte,
-              g.getInteger("wrapId", 0).toByte,
-              g.getInteger("rowCount", 0),
-              g.getLong("rawBytes", 0),
-              g.getLong("encodedBytes", 0),
-              strOrNull("minPrefix"),
-              strOrNull("maxPrefix"),
-              g.getBinary("data", 0).getBytes)
-            acc.getOrElseUpdate((fileIdx, b.blockIdx),
-              scala.collection.mutable.HashMap.empty) += (colName -> b)
-          }
-          g = reader.read()
-        }
-      } finally reader.close()
+  // record-level parquet filter on colName: rows of un-needed columns
+  // are never assembled (their `data` bytes are not copied out)
+  private val colFilter: Option[org.apache.parquet.filter2.compat.FilterCompat.Filter] =
+    if (neededCols.isEmpty) None
+    else Some(org.apache.parquet.filter2.compat.FilterCompat.get(
+      neededCols.toSeq.sorted
+        .map(c => org.apache.parquet.filter2.predicate.FilterApi.eq(
+          org.apache.parquet.filter2.predicate.FilterApi.binaryColumn("colName"),
+          org.apache.parquet.io.api.Binary.fromString(c))
+          : org.apache.parquet.filter2.predicate.FilterPredicate)
+        .reduce(org.apache.parquet.filter2.predicate.FilterApi.or(_, _))))
+
+  private val fileIt: Iterator[String] = partition.files.iterator
+  private var reader: ParquetReader[org.apache.parquet.example.data.Group] = null
+  private var lookahead: EncodedBlock = null // first block of the NEXT group
+  private var maxIdxSeen: Int = -1
+
+  private def toBlock(g: org.apache.parquet.example.data.Group, colName: String): EncodedBlock = {
+    def strOrNull(field: String): String =
+      if (g.getFieldRepetitionCount(field) == 0) null
+      else g.getString(field, 0)
+    EncodedBlock(
+      colName,
+      partition.partId,
+      g.getInteger("blockIdx", 0),
+      g.getInteger("codecId", 0).toByte,
+      g.getInteger("wrapId", 0).toByte,
+      g.getInteger("rowCount", 0),
+      g.getLong("rawBytes", 0),
+      g.getLong("encodedBytes", 0),
+      strOrNull("minPrefix"),
+      strOrNull("maxPrefix"),
+      g.getBinary("data", 0).getBytes)
+  }
+
+  /** next needed block row from the current file; null at file end */
+  private def readBlockRow(): EncodedBlock = {
+    var g = reader.read()
+    while (g != null) {
+      val colName = g.getString("colName", 0)
+      if (neededCols.isEmpty && countCol == null) countCol = colName
+      if (neededCols.contains(colName) ||
+          (neededCols.isEmpty && colName == countCol))
+        return toBlock(g, colName)
+      g = reader.read()
     }
-    acc.toArray.sortBy(_._1).map { case (i, m) => (i, m.toMap) }
+    null
+  }
+
+  /** next complete block group across all files, or null when exhausted */
+  private def nextGroup(): Map[String, EncodedBlock] = {
+    while (true) {
+      if (reader == null) {
+        if (!fileIt.hasNext) return null
+        val builder0 = ParquetReader
+          .builder(new GroupReadSupport(), new Path(fileIt.next()))
+          .withConf(new Configuration())
+        reader = colFilter.fold(builder0)(builder0.withFilter).build()
+        maxIdxSeen = -1
+        lookahead = readBlockRow()
+      }
+      if (lookahead == null) {
+        reader.close(); reader = null // next file
+      } else {
+        val idx = lookahead.blockIdx
+        if (idx <= maxIdxSeen)
+          throw new IllegalStateException(
+            s"block rows out of order in graft store (blockIdx $idx after " +
+              s"$maxIdxSeen) — file not written by a graft writer")
+        maxIdxSeen = idx
+        val m = scala.collection.mutable.HashMap.empty[String, EncodedBlock]
+        while (lookahead != null && lookahead.blockIdx == idx) {
+          m(lookahead.colName) = lookahead
+          lookahead = readBlockRow()
+        }
+        return m.toMap
+      }
+    }
+    null // unreachable
   }
 
   private val eqBytes: Map[String, Array[Byte]] =
     eq.map { case (k, v) => k -> v.getBytes("UTF-8") }
 
-  private var blockPos = 0
   private var rows: Iterator[InternalRow] = Iterator.empty
   private var current: InternalRow = _
 
   /** decode the next surviving block into an InternalRow iterator */
   private def advanceBlock(): Boolean = {
-    while (blockPos < byBlock.length) {
-      val (_, cols) = byBlock(blockPos)
-      blockPos += 1
+    while (true) {
+      val cols = nextGroup()
+      if (cols == null) return false
       // 1a. range/prefix pruning on the block's min/max value prefixes
       //     (no decompression at all)
       val rangePruned = rangePreds.exists { p =>
@@ -461,7 +493,7 @@ final class GraftPartitionReader(
         }
       }
     }
-    false
+    false // unreachable
   }
 
   override def next(): Boolean = {
@@ -473,5 +505,6 @@ final class GraftPartitionReader(
   }
 
   override def get(): InternalRow = current
-  override def close(): Unit = ()
+  override def close(): Unit =
+    if (reader != null) { reader.close(); reader = null }
 }
