@@ -26,6 +26,7 @@ object SparkEntry {
     "q_roundtrip_sha" -> (CoreQueries.roundtripSha _),
     "q_point_lookup" -> (CoreQueries.pointLookup _),
     "q_dsv2_lookup" -> (CoreQueries.dsv2Lookup _),
+    "q_dsv2_agg" -> (CoreQueries.dsv2Agg _),
     "q_codec_selection" -> (CoreQueries.codecSelection _),
     "q_encode_metrics" -> (CoreQueries.encodeMetrics _),
     // relational coverage: agg / broadcast join / window / time window
@@ -85,6 +86,10 @@ object SparkEntry {
     "q_dsv2_lookup" ->
       """SELECT CAST(doc_id AS VARCHAR) AS doc_id_s, lang, source, sha256(text) AS h
         |FROM documents WHERE lang = 'en'""".stripMargin,
+    "q_dsv2_agg" ->
+      """SELECT min(CAST(doc_id AS VARCHAR)) AS mn_id, max(CAST(doc_id AS VARCHAR)) AS mx_id,
+        |  min(text) AS mn_text, max(text) AS mx_text, count(*) AS n
+        |FROM documents""".stripMargin,
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(round(sum(l_quantity)*100) AS BIGINT) AS sum_qty_c,

@@ -124,6 +124,7 @@ class GraftScanBuilder(path: String, schema: StructType)
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = schema
   private var countStar = false
+  private var aggSpecs: Seq[GraftAgg] = Nil
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     def known(attr: String) = schema.fieldNames.contains(attr)
@@ -145,20 +146,35 @@ class GraftScanBuilder(path: String, schema: StructType)
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  /** COUNT(*) with no filters/grouping is answered from block metadata
-    * alone — each partition reader sums its blocks' rowCount field and
-    * emits one row; nothing is decompressed, let alone decoded. Partial
-    * pushdown: Spark still sums the per-partition counts.
+  /** COUNT(*) / MIN(col) / MAX(col) with no filters/grouping are answered
+    * from block METADATA — each partition reader folds its blocks' rowCount
+    * and min/max value prefixes and emits one row; Spark re-aggregates the
+    * per-partition partials (partial pushdown). Prefixes are exact for
+    * values under 24 chars; a 24-char prefix may be truncated, so only the
+    * candidate blocks whose prefix ties the running extreme decode their
+    * one column to resolve it — still no full-table decode.
     */
   override def pushAggregation(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
-    val ok = pushed.isEmpty &&
-      agg.groupByExpressions().isEmpty &&
-      agg.aggregateExpressions().length == 1 &&
-      agg.aggregateExpressions().head
-        .isInstanceOf[org.apache.spark.sql.connector.expressions.aggregate.CountStar]
-    if (ok) countStar = true
-    ok
+    import org.apache.spark.sql.connector.expressions.aggregate.{CountStar, Max, Min}
+    import org.apache.spark.sql.connector.expressions.NamedReference
+    def colOf(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
+      e match {
+        case n: NamedReference if n.fieldNames.length == 1 &&
+          schema.fieldNames.contains(n.fieldNames.head) => Some(n.fieldNames.head)
+        case _ => None
+      }
+    if (pushed.nonEmpty || agg.groupByExpressions().nonEmpty) return false
+    val specs = agg.aggregateExpressions().toSeq.map {
+      case _: CountStar => Some(GraftAgg("count", null))
+      case m: Min => colOf(m.column).map(GraftAgg("min", _))
+      case m: Max => colOf(m.column).map(GraftAgg("max", _))
+      case _ => None
+    }
+    if (specs.exists(_.isEmpty) || specs.isEmpty) return false
+    if (specs.length == 1 && specs.head.get.kind == "count") countStar = true
+    else aggSpecs = specs.map(_.get)
+    true
   }
 
   override def supportCompletePushDown(
@@ -166,6 +182,7 @@ class GraftScanBuilder(path: String, schema: StructType)
 
   override def build(): Scan = {
     if (countStar) GraftCountStarScan(path)
+    else if (aggSpecs.nonEmpty) GraftAggScan(path, aggSpecs)
     else {
       val preds = pushed.collect {
         case EqualTo(a, v: String) => GraftPred("eq", a, v)
@@ -278,6 +295,192 @@ final case class GraftCountStarScan(path: String) extends Scan with Batch {
     }
 }
 
+/** one pushed aggregate: kind ∈ count (star) | min | max (col) */
+final case class GraftAgg(kind: String, col: String)
+
+/** Metadata-only MIN/MAX(+COUNT) pushdown. Per partition, pass 1 reads only
+  * the tiny block-metadata columns (no `data` pages): rowCounts sum into the
+  * count partial, and min/max value prefixes fold into per-column extremes.
+  * A prefix under 23 chars is the exact block extreme (prefix24 truncates at
+  * 23 or 24 chars); a ≥23-char prefix MAY be truncated, so the blocks tying
+  * the partition's extreme prefix — normally zero or a handful — get a
+  * targeted pass-2 decode of that one column to resolve the exact value.
+  * Skip rules are the sound direction only: a truncated min-prefix P bounds
+  * its block's min from BELOW (every value extending P is ≥ P in UTF-8 byte
+  * order), so blocks with P > the exact running min can never win and are
+  * not decoded; symmetrically for max. Spark re-aggregates the one partial
+  * row per partition (supportCompletePushDown = false).
+  */
+final case class GraftAggScan(path: String, specs: Seq[GraftAgg])
+    extends Scan with Batch {
+  import org.apache.spark.sql.types.LongType
+
+  override def readSchema(): StructType = StructType(specs.zipWithIndex.map {
+    case (GraftAgg("count", _), i) => StructField(s"agg_$i", LongType, nullable = false)
+    case (_, i) => StructField(s"agg_$i", StringType, nullable = true)
+  })
+  override def toBatch: Batch = this
+  override def description(): String = {
+    val shown = specs.map(s => s"${s.kind}(${Option(s.col).getOrElse("*")})")
+    s"GraftAggScan path=$path, PushedAggregates: [${shown.mkString(", ")}] " +
+      "(metadata-only + tie-break block decode)"
+  }
+
+  override def planInputPartitions(): Array[InputPartition] =
+    GraftScan(path, readSchema(), Seq.empty).planInputPartitions()
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new PartitionReaderFactory {
+      override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+        new GraftAggReader(p.asInstanceOf[GraftInputPartition], specs)
+    }
+}
+
+final class GraftAggReader(partition: GraftInputPartition, specs: Seq[GraftAgg])
+    extends PartitionReader[InternalRow] {
+
+  private var done = false
+  private var row: InternalRow = _
+
+  private def cmp(a: String, b: String): Int =
+    java.util.Arrays.compareUnsigned(
+      a.getBytes("UTF-8"), b.getBytes("UTF-8"))
+  // prefix24 cuts at a char boundary at 23 or 24 chars, so anything shorter
+  // is the full block extreme and anything ≥23 chars may be truncated
+  private def maybeTruncated(p: String): Boolean = p.length >= 23
+
+  /** running fold of one column's extreme: `exact` over exact prefixes,
+    * `trunc` the best possibly-truncated prefix with its tying blocks
+    */
+  private final class Ext(min: Boolean) {
+    var exact: String = null
+    var trunc: String = null
+    var cand: List[(String, Int)] = Nil // (file, blockIdx) tying `trunc`
+    private def better(a: String, b: String): Boolean =
+      if (min) cmp(a, b) < 0 else cmp(a, b) > 0
+    def update(p: String, file: String, blockIdx: Int): Unit = {
+      if (p == null) return // all-null block: min/max ignore nulls
+      if (!maybeTruncated(p)) {
+        if (exact == null || better(p, exact)) exact = p
+      } else if (trunc == null || better(p, trunc)) {
+        trunc = p; cand = List((file, blockIdx))
+      } else if (cmp(p, trunc) == 0) cand ::= ((file, blockIdx))
+    }
+    /** can a value extending `trunc` beat `exact`? (sound-skip direction) */
+    def needDecode: Boolean = trunc != null && (exact == null ||
+      (if (min) cmp(trunc, exact) <= 0
+       else cmp(trunc, exact) >= 0 || exact.startsWith(trunc)))
+    def resolve(col: String): String = {
+      if (!needDecode) return exact
+      var r = exact
+      cand.foreach { case (file, idx) =>
+        val v = GraftAggReader.blockExtreme(file, partition.partId, col, idx, min)
+        if (v != null && (r == null || better(v, r))) r = v
+      }
+      r
+    }
+  }
+
+  override def next(): Boolean = {
+    if (done) return false
+    done = true
+    val minExt = specs.collect { case GraftAgg("min", c) => c }.distinct
+      .map(c => c -> new Ext(min = true)).toMap
+    val maxExt = specs.collect { case GraftAgg("max", c) => c }.distinct
+      .map(c => c -> new Ext(min = false)).toMap
+    val needCount = specs.exists(_.kind == "count")
+
+    // pass 1: block metadata only — `data` pages are never materialized
+    val conf = new Configuration()
+    conf.set(org.apache.parquet.hadoop.api.ReadSupport.PARQUET_READ_SCHEMA,
+      """message g {
+        |  optional binary colName (UTF8);
+        |  required int32 blockIdx;
+        |  required int32 rowCount;
+        |  optional binary minPrefix (UTF8);
+        |  optional binary maxPrefix (UTF8);
+        |}""".stripMargin)
+    var firstCol: String = null
+    var count = 0L
+    partition.files.foreach { f =>
+      val reader = ParquetReader
+        .builder(new GroupReadSupport(), new Path(f))
+        .withConf(conf)
+        .build()
+      try {
+        var g = reader.read()
+        while (g != null) {
+          val c = g.getString("colName", 0)
+          if (firstCol == null) firstCol = c
+          if (needCount && c == firstCol) count += g.getInteger("rowCount", 0)
+          if (minExt.contains(c) || maxExt.contains(c)) {
+            val idx = g.getInteger("blockIdx", 0)
+            def strOrNull(field: String): String =
+              if (g.getFieldRepetitionCount(field) == 0) null
+              else g.getString(field, 0)
+            minExt.get(c).foreach(_.update(strOrNull("minPrefix"), f, idx))
+            maxExt.get(c).foreach(_.update(strOrNull("maxPrefix"), f, idx))
+          }
+          g = reader.read()
+        }
+      } finally reader.close()
+    }
+
+    // pass 2 (usually empty): decode only prefix-tied candidate blocks
+    val minRes = minExt.map { case (c, e) => c -> e.resolve(c) }
+    val maxRes = maxExt.map { case (c, e) => c -> e.resolve(c) }
+    row = InternalRow.fromSeq(specs.map {
+      case GraftAgg("count", _) => count
+      case GraftAgg("min", c) =>
+        minRes(c) match { case null => null; case v => UTF8String.fromString(v) }
+      case GraftAgg(_, c) =>
+        maxRes(c) match { case null => null; case v => UTF8String.fromString(v) }
+    })
+    true
+  }
+
+  override def get(): InternalRow = row
+  override def close(): Unit = ()
+}
+
+object GraftAggReader {
+  /** exact min/max of ONE block's column values: record-filter the file to
+    * the single (colName, blockIdx) row, decode it, fold unsigned-lex
+    */
+  private[datasource] def blockExtreme(
+      file: String, partId: Int, col: String, blockIdx: Int, min: Boolean): String = {
+    import org.apache.parquet.filter2.predicate.FilterApi
+    val pred = FilterApi.and(
+      FilterApi.eq(FilterApi.binaryColumn("colName"),
+        org.apache.parquet.io.api.Binary.fromString(col)),
+      FilterApi.eq(FilterApi.intColumn("blockIdx"),
+        java.lang.Integer.valueOf(blockIdx)))
+    val reader = ParquetReader
+      .builder(new GroupReadSupport(), new Path(file))
+      .withConf(new Configuration())
+      .withFilter(org.apache.parquet.filter2.compat.FilterCompat.get(pred))
+      .build()
+    var ext: Array[Byte] = null
+    try {
+      var g = reader.read()
+      while (g != null) {
+        val values = BlockCodec.decodeBlock(GraftBlockRow.toBlock(g, partId, col))
+        var i = 0
+        while (i < values.length) {
+          val v = values(i)
+          if (v != null && (ext == null ||
+              (if (min) java.util.Arrays.compareUnsigned(v, ext) < 0
+               else java.util.Arrays.compareUnsigned(v, ext) > 0))) ext = v
+          i += 1
+        }
+        g = reader.read()
+      }
+    } finally reader.close()
+    if (ext == null) null
+    else new String(ext, java.nio.charset.StandardCharsets.UTF_8)
+  }
+}
+
 final case class GraftScan(path: String, required: StructType, preds: Seq[GraftPred])
     extends Scan with Batch {
 
@@ -318,6 +521,28 @@ final case class GraftScan(path: String, required: StructType, preds: Seq[GraftP
 
 final case class GraftInputPartition(partId: Int, files: Array[String])
     extends InputPartition
+
+/** one parquet block row (either graft writer's layout) → EncodedBlock */
+private[datasource] object GraftBlockRow {
+  def toBlock(g: org.apache.parquet.example.data.Group,
+              partId: Int, colName: String): EncodedBlock = {
+    def strOrNull(field: String): String =
+      if (g.getFieldRepetitionCount(field) == 0) null
+      else g.getString(field, 0)
+    EncodedBlock(
+      colName,
+      partId,
+      g.getInteger("blockIdx", 0),
+      g.getInteger("codecId", 0).toByte,
+      g.getInteger("wrapId", 0).toByte,
+      g.getInteger("rowCount", 0),
+      g.getLong("rawBytes", 0),
+      g.getLong("encodedBytes", 0),
+      strOrNull("minPrefix"),
+      strOrNull("maxPrefix"),
+      g.getBinary("data", 0).getBytes)
+  }
+}
 
 final case class GraftReaderFactory(requiredCols: Array[String], preds: Seq[GraftPred])
     extends PartitionReaderFactory {
@@ -376,23 +601,8 @@ final class GraftPartitionReader(
   private var lookahead: EncodedBlock = null // first block of the NEXT group
   private var maxIdxSeen: Int = -1
 
-  private def toBlock(g: org.apache.parquet.example.data.Group, colName: String): EncodedBlock = {
-    def strOrNull(field: String): String =
-      if (g.getFieldRepetitionCount(field) == 0) null
-      else g.getString(field, 0)
-    EncodedBlock(
-      colName,
-      partition.partId,
-      g.getInteger("blockIdx", 0),
-      g.getInteger("codecId", 0).toByte,
-      g.getInteger("wrapId", 0).toByte,
-      g.getInteger("rowCount", 0),
-      g.getLong("rawBytes", 0),
-      g.getLong("encodedBytes", 0),
-      strOrNull("minPrefix"),
-      strOrNull("maxPrefix"),
-      g.getBinary("data", 0).getBytes)
-  }
+  private def toBlock(g: org.apache.parquet.example.data.Group, colName: String): EncodedBlock =
+    GraftBlockRow.toBlock(g, partition.partId, colName)
 
   /** next needed block row from the current file; null at file end */
   private def readBlockRow(): EncodedBlock = {

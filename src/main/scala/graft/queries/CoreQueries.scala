@@ -99,6 +99,25 @@ object CoreQueries {
         sha2(col("text"), 256).as("h"))
   }
 
+  /** min/max/count THROUGH the DSv2 aggregate pushdown: the scan answers
+    * from block METADATA (min/max value prefixes + rowCounts) with a
+    * tie-break decode only for blocks whose possibly-truncated prefix ties
+    * the partition extreme; the oracle computes the same aggregates over
+    * the original table, so the metadata path must be value-exact.
+    * `text` values exceed the 24-char prefix, so the tie-break decode leg
+    * is exercised, not just the pure-metadata one.
+    */
+  def dsv2Agg(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-q-dsv2agg").toString
+    val df = docsAsStrings(spark, sfDir)
+    graft.engine.Checkpoint.encodeResumable(
+      df, docCols, docSortKeys, docCfg, dir, s"dsv2agg:$sfDir")
+    spark.read.format("graft").load(dir).agg(
+      min(col("doc_id_s")).as("mn_id"), max(col("doc_id_s")).as("mx_id"),
+      min(col("text")).as("mn_text"), max(col("text")).as("mx_text"),
+      count(lit(1)).as("n"))
+  }
+
   /** sampled stats pass + selector decision per (partition, column) */
   def codecSelection(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._

@@ -216,6 +216,39 @@ class GraftDataSourceSpec extends AnyFunSuite {
       == Seq("doc_id_s", "lang", "source", "text"))
   }
 
+  test("min/max/count push down to metadata + tie-break decode") {
+    val df = spark.read.format("graft").load(store)
+    val agged = df.agg(min(col("doc_id_s")).as("mn"), max(col("doc_id_s")).as("mx"),
+      count(lit(1)).as("n"))
+    val plan = agged.queryExecution.executedPlan.toString
+    assert(plan.contains("GraftAggScan"), plan.take(900))
+    val r = agged.head()
+    val e = original.agg(min(col("doc_id_s")), max(col("doc_id_s")), count(lit(1))).head()
+    assert(r.getString(0) == e.getString(0) && r.getString(1) == e.getString(1)
+      && r.getLong(2) == e.getLong(2))
+
+    // text values exceed 24 chars → stored prefixes are truncated, so the
+    // winner must come from the pass-2 single-block decode, not the prefix
+    val t = df.agg(min(col("text")).as("mn"), max(col("text")).as("mx"))
+    assert(t.queryExecution.executedPlan.toString.contains("GraftAggScan"))
+    val tr = t.head()
+    val te = original.agg(min(col("text")), max(col("text"))).head()
+    assert(tr.getString(0) == te.getString(0), s"min: ${tr.getString(0)}")
+    assert(tr.getString(1) == te.getString(1), s"max: ${tr.getString(1)}")
+    assert(tr.getString(1).length > 24, "fixture must force truncated prefixes")
+
+    // filters present → no agg pushdown (prefix pruning is filter-coupled)
+    val f = df.where(col("lang") === "en").agg(max(col("doc_id_s")))
+    assert(!f.queryExecution.executedPlan.toString.contains("GraftAggScan"))
+    assert(f.head().getString(0) ==
+      original.where(col("lang") === "en").agg(max(col("doc_id_s"))).head().getString(0))
+
+    // group-by → no pushdown, plain scan answers it
+    val g = df.groupBy("lang").agg(max(col("doc_id_s")).as("mx"))
+    assert(!g.queryExecution.executedPlan.toString.contains("GraftAggScan"))
+    assert(g.count() == 5)
+  }
+
   test("SQL over a registered graft table") {
     spark.read.format("graft").load(store).createOrReplaceTempView("graft_docs")
     val n = spark.sql(
