@@ -10,7 +10,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
-import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual, StringStartsWith}
+import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, IsNotNull, LessThan, LessThanOrEqual, StringStartsWith}
 import org.apache.spark.sql.types.{StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -135,6 +135,9 @@ class GraftScanBuilder(path: String, schema: StructType)
       case e @ LessThan(a, v: String) if known(a) && v != null => e
       case e @ LessThanOrEqual(a, v: String) if known(a) && v != null => e
       case e @ StringStartsWith(a, v) if known(a) && v != null => e
+      case e @ In(a, vs) if known(a) && vs != null && vs.nonEmpty &&
+        vs.forall(v => v != null && v.isInstanceOf[String]) => e
+      case e @ IsNotNull(a) if known(a) => e
     }
     // everything stays residual: block pruning is an optimization, Spark
     // still re-evaluates the predicates on the decoded rows
@@ -191,6 +194,8 @@ class GraftScanBuilder(path: String, schema: StructType)
         case LessThan(a, v: String) => GraftPred("upper", a, v)
         case LessThanOrEqual(a, v: String) => GraftPred("upper", a, v)
         case StringStartsWith(a, v) => GraftPred("prefix", a, v)
+        case In(a, vs) => GraftPred("in", a, null, vs.toSeq.map(_.asInstanceOf[String]))
+        case IsNotNull(a) => GraftPred("notnull", a, null)
       }
       GraftScan(path, required, preds)
     }
@@ -198,9 +203,11 @@ class GraftScanBuilder(path: String, schema: StructType)
 }
 
 /** one pushed predicate: kind ∈ eq | lower (v is a lower bound) |
-  * upper (v is an upper bound) | prefix (startsWith)
+  * upper (v is an upper bound) | prefix (startsWith) | in (values list) |
+  * notnull
   */
-final case class GraftPred(kind: String, col: String, value: String)
+final case class GraftPred(kind: String, col: String, value: String,
+    values: Seq[String] = Nil)
 
 /** Conservative block-skip rules over the ≤24-char min/max value PREFIXES
   * stored on every block. A prefix P of max satisfies P ≤ max; truncation
@@ -235,12 +242,21 @@ object GraftPruning {
     !(cmp(pMin, p) > 0 && !pMin.startsWith(p))
   }
 
+  /** can v itself exist in [min, max]? (eq / in-list element test) */
+  def eqMayMatch(pMin: String, pMax: String, v: String): Boolean =
+    upperMayMatch(pMin, v) && lowerMayMatch(pMax, v)
+
   /** block-level test for one predicate given the block's prefixes */
   def blockMayMatch(pred: GraftPred, pMin: String, pMax: String): Boolean =
     pred.kind match {
       case "lower" => lowerMayMatch(pMax, pred.value)
       case "upper" => upperMayMatch(pMin, pred.value)
       case "prefix" => prefixMayMatch(pMin, pMax, pred.value)
+      case "eq" => eqMayMatch(pMin, pMax, pred.value)
+      case "in" => pred.values.exists(eqMayMatch(pMin, pMax, _))
+      // a block whose prefixes are both null holds only nulls — IsNotNull
+      // can skip it outright (the only sound direction without null counts)
+      case "notnull" => pMin != null || pMax != null
       case _ => true
     }
 }
@@ -488,11 +504,13 @@ final case class GraftScan(path: String, required: StructType, preds: Seq[GraftP
   override def toBatch: Batch = this
   override def description(): String = {
     val shown = preds.map {
-      case GraftPred("eq", c, v) => s"$c = $v"
-      case GraftPred("lower", c, v) => s"$c >= $v"
-      case GraftPred("upper", c, v) => s"$c <= $v"
-      case GraftPred("prefix", c, v) => s"$c startswith $v"
-      case GraftPred(k, c, v) => s"$c $k $v"
+      case GraftPred("eq", c, v, _) => s"$c = $v"
+      case GraftPred("lower", c, v, _) => s"$c >= $v"
+      case GraftPred("upper", c, v, _) => s"$c <= $v"
+      case GraftPred("prefix", c, v, _) => s"$c startswith $v"
+      case GraftPred("in", c, _, vs) => s"$c in (${vs.mkString(",")})"
+      case GraftPred("notnull", c, _, _) => s"$c is not null"
+      case GraftPred(k, c, v, _) => s"$c $k $v"
     }
     s"GraftScan path=$path, ReadSchema: ${required.catalogString}, " +
       s"PushedFilters: [${shown.mkString(", ")}]"
@@ -573,11 +591,13 @@ final class GraftPartitionReader(
     extends PartitionReader[InternalRow] {
 
   private val eq: Map[String, String] =
-    preds.collect { case GraftPred("eq", c, v) => c -> v }.toMap
-  private val rangePreds: Seq[GraftPred] = preds.filterNot(_.kind == "eq")
+    preds.collect { case GraftPred("eq", c, v, _) => c -> v }.toMap
+  private val inPreds: Seq[(String, Seq[Array[Byte]])] =
+    preds.collect { case GraftPred("in", c, _, vs) =>
+      c -> vs.map(_.getBytes("UTF-8")) }
 
   private val neededCols: Set[String] =
-    requiredCols.toSet ++ eq.keySet ++ rangePreds.map(_.col)
+    requiredCols.toSet ++ preds.map(_.col)
 
   // count(*)-style scans prune EVERY column: row multiplicity still must
   // be produced, so fall back to reading one arbitrary column's blocks
@@ -661,15 +681,18 @@ final class GraftPartitionReader(
     while (true) {
       val cols = nextGroup()
       if (cols == null) return false
-      // 1a. range/prefix pruning on the block's min/max value prefixes
-      //     (no decompression at all)
-      val rangePruned = rangePreds.exists { p =>
+      // 1a. metadata pruning on the block's min/max value prefixes — every
+      //     pushed predicate kind, no decompression at all
+      val metaPruned = preds.exists { p =>
         cols.get(p.col).exists(b =>
           !GraftPruning.blockMayMatch(p, b.minPrefix, b.maxPrefix))
       }
-      // 1b. equality pruning (cheap: dict binary-search / FoR range meta)
-      val pruned = rangePruned || eqBytes.exists { case (k, v) =>
+      // 1b. equality/in-list pruning (cheap: dict binary-search / FoR range
+      //     meta); a column absent from the partition is all-null → prune
+      val pruned = metaPruned || eqBytes.exists { case (k, v) =>
         cols.get(k).forall(b => !BlockCodec.mayContain(b, v))
+      } || inPreds.exists { case (k, vs) =>
+        cols.get(k).forall(b => !vs.exists(BlockCodec.mayContain(b, _)))
       }
       if (!pruned) {
         // 2. decode filter columns first, intersect matching row ids
@@ -677,17 +700,20 @@ final class GraftPartitionReader(
         def col(name: String): Array[Array[Byte]] =
           decoded.getOrElseUpdate(name, BlockCodec.decodeBlock(cols(name)))
         val n = cols.valuesIterator.next().rowCount
-        var matching: Array[Int] = null
-        val allEqPresent = eqBytes.keysIterator.forall(cols.contains)
-        if (allEqPresent && eqBytes.nonEmpty) {
-          var ids = (0 until n).toArray
+        var matching: Array[Int] = (0 until n).toArray
+        if (eqBytes.nonEmpty && eqBytes.keysIterator.forall(cols.contains)) {
           eqBytes.foreach { case (k, v) =>
             val kv = col(k)
-            ids = ids.filter(i => kv(i) != null && java.util.Arrays.equals(kv(i), v))
+            matching = matching.filter(i =>
+              kv(i) != null && java.util.Arrays.equals(kv(i), v))
           }
-          matching = ids
-        } else {
-          matching = (0 until n).toArray // let Spark's residual decide
+        } // else: let Spark's residual decide
+        if (inPreds.nonEmpty && inPreds.forall(p => cols.contains(p._1))) {
+          inPreds.foreach { case (k, vs) =>
+            val kv = col(k)
+            matching = matching.filter(i => kv(i) != null &&
+              vs.exists(java.util.Arrays.equals(kv(i), _)))
+          }
         }
         if (matching.nonEmpty) {
           // 3. late materialization: decode required columns only now

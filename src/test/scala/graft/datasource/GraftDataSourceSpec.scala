@@ -62,7 +62,23 @@ class GraftDataSourceSpec extends AnyFunSuite {
       expected, got, Seq("doc_id_s", "text", "lang", "source")) == 0)
     val plan = got.queryExecution.executedPlan.toString
     assert(plan.contains("GraftScan"), plan.take(500))
-    assert(plan.contains("PushedFilters: [lang = en]"), plan.take(800))
+    assert(plan.contains("lang = en"), plan.take(800))
+    // Spark's implied IsNotNull rides along (prunes all-null blocks)
+    assert(plan.contains("lang is not null"), plan.take(800))
+  }
+
+  test("In-list filter pushes down and loses nothing") {
+    val got = spark.read.format("graft").load(store)
+      .where(col("lang").isin("en", "ja", "zz"))
+    val expected = original.where(col("lang").isin("en", "ja", "zz"))
+    assert(got.count() == expected.count())
+    assert(graft.verify.Sha256Check.mismatchGroups(
+      expected, got, Seq("doc_id_s", "text", "lang", "source")) == 0)
+    val plan = got.queryExecution.executedPlan.toString
+    assert(plan.contains("lang in (en,ja,zz)"), plan.take(900))
+    // all-absent list scans empty
+    assert(spark.read.format("graft").load(store)
+      .where(col("lang").isin("zz", "qq")).count() == 0)
   }
 
   test("filter on a value absent from the store returns zero rows") {
@@ -96,6 +112,14 @@ class GraftDataSourceSpec extends AnyFunSuite {
     assert(upperMayMatch("ab", "abc")) // truncated min could still be ≤ v
     assert(prefixMayMatch("abc", "abd", "ab")) // pMin starts with p → keep
     assert(!prefixMayMatch("b", "c", "a")) // all p-prefixed < min → skip
+    assert(eqMayMatch("abc", "abd", "abc"))
+    assert(!eqMayMatch("abc", "abd", "abb")) // v < min → skip
+    assert(!eqMayMatch("abc", "abd", "abe")) // v > max → skip
+    assert(eqMayMatch("a" * 24, "a" * 24, "a" * 30)) // truncated → keep
+    assert(blockMayMatch(GraftPred("notnull", "c", null), "x", "y"))
+    assert(!blockMayMatch(GraftPred("notnull", "c", null), null, null))
+    assert(blockMayMatch(GraftPred("in", "c", null, Seq("q", "abc")), "abc", "abd"))
+    assert(!blockMayMatch(GraftPred("in", "c", null, Seq("q", "z")), "abc", "abd"))
   }
 
   test("range and startsWith filters push down and lose nothing") {
