@@ -33,7 +33,14 @@ object Csv {
       nullValue: String = "\\N",
       onBadLines: OnBadLines = Error,
       onEmptyHeader: OnEmptyHeader = DropColumn,
-      multiLine: Boolean = false)
+      multiLine: Boolean = false,
+      // parser limits ≙ csv/CsvToIon.java:152-168: maxFieldSize caps one
+      // field's characters (univocity maxCharsPerColumn — which also bounds
+      // the parse buffer, covering the reference's maxBufferSize failure
+      // mode of a runaway unterminated quote); allowExtraCharsAfterClosingQuote
+      // keeps reading a value past its closing quote instead of stopping at it
+      maxFieldSize: Int = 16 * 1024 * 1024, // reference default, :79-80
+      allowExtraCharsAfterClosingQuote: Boolean = false)
 
   def read(spark: SparkSession, path: String, opts: CsvReadOptions = CsvReadOptions()): DataFrame = {
     val reader = spark.read
@@ -46,6 +53,15 @@ object Csv {
       .option("multiLine", opts.multiLine)
       .option("ignoreLeadingWhiteSpace", false)
       .option("ignoreTrailingWhiteSpace", false)
+      .option("maxCharsPerColumn", opts.maxFieldSize)
+      // ≙ fastcsv: extra chars after a closing quote throw by default
+      // (false). With true, univocity salvages the RAW text between
+      // delimiters (quote chars kept verbatim), where fastcsv appends the
+      // extra chars to the unquoted value — both recover the row; the
+      // salvaged cell keeps its quotes here. Documented divergence.
+      .option("unescapedQuoteHandling",
+        if (opts.allowExtraCharsAfterClosingQuote) "STOP_AT_DELIMITER"
+        else "RAISE_ERROR")
 
     val df =
       if (opts.skipRows == 0) reader.csv(path)

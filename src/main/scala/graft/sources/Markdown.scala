@@ -13,11 +13,45 @@ import org.apache.spark.sql.functions._
   */
 object Markdown {
 
+  // ---- reference-link definitions: `[label]: url "title"` ----
+  private val RefDef =
+    "(?m)^\\s{0,3}\\[([^\\]]+)\\]:\\s*(\\S+)(?:\\s+\"[^\"]*\")?\\s*$".r
+
+  /** collect `[label]: url` definitions (labels case-insensitive per
+    * commonmark) and strip the definition lines from the document
+    */
+  private def extractRefDefs(md: String): (String, Map[String, String]) = {
+    val defs = RefDef.findAllMatchIn(md)
+      .map(m => m.group(1).toLowerCase -> m.group(2)).toMap
+    (RefDef.replaceAllIn(md, ""), defs)
+  }
+
+  /** resolve `[text][label]` and collapsed `[text][]` reference links into
+    * inline `[text](url)` form so the single inline pipeline handles both
+    */
+  private def resolveRefLinks(md: String, defs: Map[String, String]): String = {
+    if (defs.isEmpty) return md
+    val ref = "(!?)\\[([^\\]]*)\\]\\[([^\\]]*)\\]".r
+    ref.replaceAllIn(md, m => {
+      val bang = m.group(1); val text = m.group(2)
+      val label = if (m.group(3).isEmpty) text else m.group(3)
+      defs.get(label.toLowerCase) match {
+        case Some(url) => java.util.regex.Matcher.quoteReplacement(
+          s"$bang[$text]($url)")
+        case None => java.util.regex.Matcher.quoteReplacement(m.matched)
+      }
+    })
+  }
+
   // ---- markdown → plain text (strip syntax, keep content) ----
   def toText(md: String): String = {
-    var s = md
+    val (body, defs) = extractRefDefs(md)
+    var s = resolveRefLinks(body, defs)
     s = s.replaceAll("(?s)```.*?```", "") // fenced code blocks dropped
-    s = s.replaceAll("(?m)^#{1,6}\\s*", "") // headings
+    // headings: trim closing #s (horizontal whitespace only — \s would
+    // swallow the blank line after a heading), then strip the leading #s
+    s = s.replaceAll("(?m)^(#{1,6})[ \\t]+(.*?)[ \\t]*#*[ \\t]*$", "$1 $2")
+      .replaceAll("(?m)^#{1,6}\\s*", "")
     s = s.replaceAll("!\\[([^\\]]*)\\]\\([^)]*\\)", "$1") // images → alt
     s = s.replaceAll("\\[([^\\]]*)\\]\\([^)]*\\)", "$1") // links → text
     s = s.replaceAll("(\\*\\*|__)(.*?)\\1", "$2") // bold
@@ -29,17 +63,34 @@ object Markdown {
     s.replaceAll("\\n{3,}", "\n\n").trim
   }
 
-  // ---- markdown → html (core constructs) ----
+  // ---- markdown → html ----
+  /** headings, fenced code, nested ordered/unordered lists (2-space
+    * indent levels), blockquotes, thematic breaks, raw-HTML block
+    * passthrough, and the inline set (links incl. reference style,
+    * images, emphasis, code)
+    */
   def toHtml(md: String): String = {
+    val (body, defs) = extractRefDefs(md)
     val out = new StringBuilder
-    val lines = md.split("\n", -1)
+    val lines = resolveRefLinks(body, defs).split("\n", -1)
     var i = 0
-    var inList = false
-    def closeList(): Unit = if (inList) { out ++= "</ul>\n"; inList = false }
+    // stack of open list tags ("ul"/"ol"), one per nesting level
+    var lists = List.empty[String]
+    def closeTo(depth: Int): Unit =
+      while (lists.length > depth) {
+        out ++= s"</li>\n</${lists.head}>\n"; lists = lists.tail
+      }
+    var quoting = false
+    def closeQuote(): Unit =
+      if (quoting) { out ++= "</blockquote>\n"; quoting = false }
+    def closeBlocks(): Unit = { closeTo(0); closeQuote() }
+
+    val h = "^(#{1,6})\\s+(.*?)\\s*#*\\s*$".r
+    val bullet = "^(\\s*)([-*+]|\\d+[.)])\\s+(.*)$".r
     while (i < lines.length) {
       val line = lines(i)
       if (line.startsWith("```")) {
-        closeList()
+        closeBlocks()
         val code = new StringBuilder
         i += 1
         while (i < lines.length && !lines(i).startsWith("```")) {
@@ -47,25 +98,46 @@ object Markdown {
           i += 1
         }
         out ++= s"<pre><code>${code.toString}</code></pre>\n"
-      } else {
-        val h = "^(#{1,6})\\s+(.*)$".r
-        line match {
-          case h(hashes, text) =>
-            closeList()
-            val n = hashes.length
-            out ++= s"<h$n>${inline(text)}</h$n>\n"
-          case l if l.matches("^\\s*[-*+]\\s+.*") =>
-            if (!inList) { out ++= "<ul>\n"; inList = true }
-            out ++= s"<li>${inline(l.replaceFirst("^\\s*[-*+]\\s+", ""))}</li>\n"
-          case "" => closeList()
-          case other =>
-            closeList()
-            out ++= s"<p>${inline(other)}</p>\n"
-        }
+      } else line match {
+        case h(hashes, text) =>
+          closeBlocks()
+          val n = hashes.length
+          out ++= s"<h$n>${inline(text)}</h$n>\n"
+        case l if l.matches("^\\s*([-*_]\\s*){3,}$") && !l.trim.startsWith("- ") =>
+          closeBlocks()
+          out ++= "<hr/>\n"
+        case bullet(indent, marker, text) =>
+          closeQuote()
+          val depth = indent.replace("\t", "  ").length / 2 + 1
+          val tag = if (marker.matches("\\d+[.)]")) "ol" else "ul"
+          if (lists.length >= depth) {
+            closeTo(depth)
+            // same level: close the open item; switch list type if needed
+            if (lists.head != tag) {
+              out ++= s"</li>\n</${lists.head}>\n<$tag>\n"
+              lists = tag :: lists.tail
+            } else out ++= "</li>\n"
+          } else {
+            // deeper: open nested lists inside the current item
+            while (lists.length < depth) { out ++= s"<$tag>\n"; lists = tag :: lists }
+          }
+          out ++= s"<li>${inline(text)}"
+        case l if l.startsWith(">") =>
+          closeTo(0)
+          if (!quoting) { out ++= "<blockquote>\n"; quoting = true }
+          val inner = l.replaceFirst("^>\\s?", "")
+          if (inner.nonEmpty) out ++= s"<p>${inline(inner)}</p>\n"
+        case "" => closeBlocks()
+        case l if l.trim.startsWith("<") =>
+          closeBlocks()
+          out ++= l + "\n" // raw HTML block passthrough (commonmark-style)
+        case other =>
+          closeBlocks()
+          out ++= s"<p>${inline(other)}</p>\n"
       }
       i += 1
     }
-    closeList()
+    closeBlocks()
     out.toString.trim
   }
 
@@ -122,8 +194,25 @@ object Markdown {
     s = s.replaceAll("(?is)<code[^>]*>(.*?)</code>", "`$1`")
     s = s.replaceAll("(?is)<a\\s+[^>]*href=\"([^\"]*)\"[^>]*>(.*?)</a>", "[$2]($1)")
     s = s.replaceAll("(?is)<img\\s+[^>]*alt=\"([^\"]*)\"[^>]*src=\"([^\"]*)\"[^>]*/?>", "![$1]($2)")
+    // ordered lists first: number the items 1..n within each <ol> scope
+    val olRe = "(?is)<ol[^>]*>(.*?)</ol>".r
+    s = olRe.replaceAllIn(s, m => {
+      val items = "(?is)<li[^>]*>(.*?)</li>".r
+        .findAllMatchIn(m.group(1)).map(_.group(1).trim).toList
+      java.util.regex.Matcher.quoteReplacement(
+        items.zipWithIndex.map { case (t, i) => s"${i + 1}. $t\n" }.mkString)
+    })
     s = s.replaceAll("(?is)<li[^>]*>(.*?)</li>", "- $1\n")
     s = s.replaceAll("(?is)</?(ul|ol)[^>]*>", "")
+    // blockquotes: every inner line gets the marker
+    val bqRe = "(?is)<blockquote[^>]*>(.*?)</blockquote>".r
+    s = bqRe.replaceAllIn(s, m => {
+      val inner = m.group(1)
+        .replaceAll("(?is)<p[^>]*>(.*?)</p>", "$1\n")
+        .trim.split("\n").map(l => s"> ${l.trim}").mkString("\n")
+      java.util.regex.Matcher.quoteReplacement(inner + "\n\n")
+    })
+    s = s.replaceAll("(?is)<hr\\s*/?>", "\n---\n")
     s = s.replaceAll("(?is)<p[^>]*>(.*?)</p>", "$1\n\n")
     s = s.replaceAll("(?is)<br\\s*/?>", "\n")
     s = s.replaceAll("(?s)<[^>]+>", "") // remaining tags (ignoreTags analog)

@@ -66,6 +66,36 @@ class FormatsSpec extends AnyFunSuite {
     assert(dropped.columns.toSeq == Seq("id", "name"))
   }
 
+  test("csv parser limits: maxFieldSize caps a field, extra-chars knob") {
+    val dir = tmp()
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$dir/in"))
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/in/f.csv"),
+      s"id,blob\n1,${"x" * 100}\n2,short\n")
+    // within the limit: parses fine
+    assert(Csv.read(spark, s"$dir/in",
+      Csv.CsvReadOptions(maxFieldSize = 200)).count() == 2)
+    // over the limit: the scan fails loudly — same contract as the
+    // reference's fastcsv, whose maxFieldSize overflow throws regardless
+    // of the bad-lines policy (it is a parser limit, not a malformed row)
+    intercept[Exception] {
+      Csv.read(spark, s"$dir/in",
+        Csv.CsvReadOptions(maxFieldSize = 10)).collect()
+    }
+
+    // extra characters after a closing quote: the default throws (the
+    // reference's fastcsv default); the allow knob salvages the raw cell
+    // text up to the next delimiter (quote chars kept — see Csv.read note)
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/in2.csv"),
+      "id,v,w\n1,\"ab\"cd,tail\n")
+    intercept[Exception] {
+      Csv.read(spark, s"$dir/in2.csv", Csv.CsvReadOptions()).collect()
+    }
+    val loose = Csv.read(spark, s"$dir/in2.csv",
+      Csv.CsvReadOptions(allowExtraCharsAfterClosingQuote = true))
+    assert(loose.head().getString(1) == "\"ab\"cd")
+    assert(loose.head().getString(2) == "tail")
+  }
+
   test("jsonl and json-array round-trips") {
     val dir = tmp()
     val df = fixture

@@ -57,6 +57,40 @@ class MarkdownProtobufSpec extends AnyFunSuite {
       back.contains("[l](http://u)") && back.contains("- x"))
   }
 
+  test("nested and ordered lists render with proper nesting") {
+    val html = Markdown.toHtml(
+      "- a\n  - a1\n  - a2\n- b\n\n1. one\n2. two")
+    assert(html.contains("<li>a<ul>\n<li>a1</li>\n<li>a2</li>\n</ul>\n</li>"),
+      html)
+    assert(html.contains("<ol>\n<li>one</li>\n<li>two</li>\n</ol>"), html)
+  }
+
+  test("reference links resolve in toHtml and toText") {
+    val md = "See [the spec][ref] and [Plain][].\n\n[ref]: http://spec.io\n[plain]: http://p.io"
+    val html = Markdown.toHtml(md)
+    assert(html.contains("<a href=\"http://spec.io\">the spec</a>"), html)
+    assert(html.contains("<a href=\"http://p.io\">Plain</a>"), html)
+    val text = Markdown.toText(md)
+    assert(text.contains("the spec") && !text.contains("http://spec.io"))
+    assert(!text.contains("[ref]:"))
+  }
+
+  test("blockquote, rule, and raw-HTML block passthrough") {
+    val html = Markdown.toHtml("> quoted\n> more\n\n---\n\n<table><tr/></table>")
+    assert(html.contains("<blockquote>\n<p>quoted</p>\n<p>more</p>\n</blockquote>"), html)
+    assert(html.contains("<hr/>"), html)
+    assert(html.contains("<table><tr/></table>"), html)
+  }
+
+  test("html ordered lists and blockquotes invert to markdown") {
+    val md = Markdown.htmlToMarkdown(
+      "<ol><li>first</li><li>second</li></ol>" +
+        "<blockquote><p>qa</p><p>qb</p></blockquote><hr/>")
+    assert(md.contains("1. first") && md.contains("2. second"), md)
+    assert(md.contains("> qa") && md.contains("> qb"), md)
+    assert(md.contains("---"), md)
+  }
+
   // ---- protobuf wire format ----
   test("decodes varint, string, nested, repeated fields") {
     val inner = new ByteWriter()
