@@ -562,33 +562,42 @@ private[datasource] object GraftBlockRow {
   }
 }
 
+
 final case class GraftReaderFactory(requiredCols: Array[String], preds: Seq[GraftPred])
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new GraftPartitionReader(
+    new GraftRowReader(
+      partition.asInstanceOf[GraftInputPartition], requiredCols, preds)
+
+  // Vectorized path: each surviving block group becomes ONE ColumnarBatch
+  // (block size == batch size), so downstream whole-stage codegen consumes
+  // column vectors directly instead of allocating an InternalRow per row.
+  override def supportColumnarReads(partition: InputPartition): Boolean = true
+  override def createColumnarReader(
+      partition: InputPartition): PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
+    new GraftColumnarReader(
       partition.asInstanceOf[GraftInputPartition], requiredCols, preds)
 }
 
-/** Reads one encoder partition as a STREAM of block groups: block rows of
-  * each file are grouped by consecutive blockIdx runs (both graft writers
-  * emit a partition's blocks column-interleaved in increasing blockIdx
-  * order, so one run == one row group), each group is pruned via min/max
-  * prefixes + mayContain on the filter columns, and only surviving groups
-  * decode the needed columns. Memory is bounded by ONE block group (plus
-  * the parquet reader's own row-group buffer) — never the whole partition,
-  * which at 100 TB can be arbitrarily many blocks.
+/** Shared scan cursor: reads one encoder partition as a STREAM of block
+  * groups. Block rows of each file are grouped by consecutive blockIdx runs
+  * (both graft writers emit a partition's blocks column-interleaved in
+  * increasing blockIdx order, so one run == one row group), each group is
+  * pruned via min/max prefixes + mayContain on the filter columns, and only
+  * surviving groups decode the needed columns. Memory is bounded by ONE
+  * block group (plus the parquet reader's own row-group buffer) — never the
+  * whole partition, which at 100 TB can be arbitrarily many blocks.
   *
   * Groups are keyed per FILE: a partition directory may hold several files
   * (append-mode writes, resumed jobs) and blockIdx is only unique within
   * one file. A non-monotonic blockIdx inside a file would mean the store
-  * was not written by a graft writer; the reader fails loudly rather than
+  * was not written by a graft writer; the cursor fails loudly rather than
   * risk a silently split group (missing column → null).
   */
-final class GraftPartitionReader(
+private[datasource] final class GraftGroupCursor(
     partition: GraftInputPartition,
     requiredCols: Array[String],
-    preds: Seq[GraftPred])
-    extends PartitionReader[InternalRow] {
+    preds: Seq[GraftPred]) {
 
   private val eq: Map[String, String] =
     preds.collect { case GraftPred("eq", c, v, _) => c -> v }.toMap
@@ -621,9 +630,6 @@ final class GraftPartitionReader(
   private var lookahead: EncodedBlock = null // first block of the NEXT group
   private var maxIdxSeen: Int = -1
 
-  private def toBlock(g: org.apache.parquet.example.data.Group, colName: String): EncodedBlock =
-    GraftBlockRow.toBlock(g, partition.partId, colName)
-
   /** next needed block row from the current file; null at file end */
   private def readBlockRow(): EncodedBlock = {
     var g = reader.read()
@@ -632,7 +638,7 @@ final class GraftPartitionReader(
       if (neededCols.isEmpty && countCol == null) countCol = colName
       if (neededCols.contains(colName) ||
           (neededCols.isEmpty && colName == countCol))
-        return toBlock(g, colName)
+        return GraftBlockRow.toBlock(g, partition.partId, colName)
       g = reader.read()
     }
     null
@@ -673,14 +679,15 @@ final class GraftPartitionReader(
   private val eqBytes: Map[String, Array[Byte]] =
     eq.map { case (k, v) => k -> v.getBytes("UTF-8") }
 
-  private var rows: Iterator[InternalRow] = Iterator.empty
-  private var current: InternalRow = _
-
-  /** decode the next surviving block into an InternalRow iterator */
-  private def advanceBlock(): Boolean = {
+  /** Decoded values of the required columns for the next surviving block
+    * group: (matching row ids, per-required-col value arrays — a null slot
+    * when that column is absent from this partition, i.e. all-null).
+    * Returns null when the partition is exhausted.
+    */
+  def nextSurviving(): (Array[Int], Array[Array[Array[Byte]]]) = {
     while (true) {
       val cols = nextGroup()
-      if (cols == null) return false
+      if (cols == null) return null
       // 1a. metadata pruning on the block's min/max value prefixes — every
       //     pushed predicate kind, no decompression at all
       val metaPruned = preds.exists { p =>
@@ -717,30 +724,93 @@ final class GraftPartitionReader(
         }
         if (matching.nonEmpty) {
           // 3. late materialization: decode required columns only now
-          val outCols = requiredCols.map(c => cols.get(c).map(_ => col(c)))
-          rows = matching.iterator.map { i =>
-            InternalRow.fromSeq(outCols.toIndexedSeq.map {
-              case Some(vals) =>
-                if (vals(i) == null) null else UTF8String.fromBytes(vals(i))
-              case None => null // column absent in this partition → null
-            })
-          }
-          return true
+          val outCols = requiredCols.map(c =>
+            if (cols.contains(c)) col(c) else null)
+          return (matching, outCols)
         }
       }
     }
-    false // unreachable
+    null // unreachable
   }
+
+  def close(): Unit =
+    if (reader != null) { reader.close(); reader = null }
+}
+
+/** row-based reader over the shared cursor */
+final class GraftRowReader(
+    partition: GraftInputPartition,
+    requiredCols: Array[String],
+    preds: Seq[GraftPred])
+    extends PartitionReader[InternalRow] {
+
+  private val cursor = new GraftGroupCursor(partition, requiredCols, preds)
+  private var rows: Iterator[InternalRow] = Iterator.empty
+  private var current: InternalRow = _
 
   override def next(): Boolean = {
     while (!rows.hasNext) {
-      if (!advanceBlock()) return false
+      val g = cursor.nextSurviving()
+      if (g == null) return false
+      val (matching, outCols) = g
+      rows = matching.iterator.map { i =>
+        InternalRow.fromSeq(outCols.toIndexedSeq.map { vals =>
+          if (vals == null || vals(i) == null) null
+          else UTF8String.fromBytes(vals(i))
+        })
+      }
     }
     current = rows.next()
     true
   }
 
   override def get(): InternalRow = current
-  override def close(): Unit =
-    if (reader != null) { reader.close(); reader = null }
+  override def close(): Unit = cursor.close()
+}
+
+/** vectorized reader: one ColumnarBatch per surviving block group */
+final class GraftColumnarReader(
+    partition: GraftInputPartition,
+    requiredCols: Array[String],
+    preds: Seq[GraftPred])
+    extends PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
+
+  import org.apache.spark.sql.execution.vectorized.OnHeapColumnVector
+  import org.apache.spark.sql.vectorized.{ColumnVector, ColumnarBatch}
+
+  private val cursor = new GraftGroupCursor(partition, requiredCols, preds)
+  private var batch: ColumnarBatch = null
+
+  override def next(): Boolean = {
+    if (batch != null) { batch.close(); batch = null }
+    val g = cursor.nextSurviving()
+    if (g == null) return false
+    val (matching, outCols) = g
+    val n = matching.length
+    val vectors = new Array[ColumnVector](requiredCols.length)
+    var j = 0
+    while (j < requiredCols.length) {
+      val v = new OnHeapColumnVector(n, StringType)
+      val vals = outCols(j)
+      if (vals == null) v.putNulls(0, n) // column absent in this partition
+      else {
+        var i = 0
+        while (i < n) {
+          val b = vals(matching(i))
+          if (b == null) v.putNull(i) else v.putByteArray(i, b, 0, b.length)
+          i += 1
+        }
+      }
+      vectors(j) = v
+      j += 1
+    }
+    batch = new ColumnarBatch(vectors, n)
+    true
+  }
+
+  override def get(): ColumnarBatch = batch
+  override def close(): Unit = {
+    if (batch != null) { batch.close(); batch = null }
+    cursor.close()
+  }
 }

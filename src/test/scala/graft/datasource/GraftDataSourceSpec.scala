@@ -273,6 +273,18 @@ class GraftDataSourceSpec extends AnyFunSuite {
     assert(g.count() == 5)
   }
 
+  test("scan is vectorized: ColumnarToRow over batch-per-block-group") {
+    val got = spark.read.format("graft").load(store)
+    val plan = got.queryExecution.executedPlan.toString
+    assert(plan.contains("ColumnarToRow"), plan.take(600))
+    // filtered + pruned scans run through the same columnar reader
+    val filtered = got.where(col("lang") === "fr").select("doc_id_s", "lang")
+    assert(filtered.queryExecution.executedPlan.toString.contains("ColumnarToRow"))
+    assert(filtered.count() == 800)
+    assert(filtered.where(col("doc_id_s") === "7").count() == 0) // doc 7 is de
+    assert(got.where(col("doc_id_s") === "7").head().getString(2) == "src0")
+  }
+
   test("SQL over a registered graft table") {
     spark.read.format("graft").load(store).createOrReplaceTempView("graft_docs")
     val n = spark.sql(
