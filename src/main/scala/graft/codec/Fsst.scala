@@ -137,6 +137,11 @@ object Fsst extends Codec {
       t
     }
 
+    // exposed to the encode hot loop so it can keep them in locals
+    private[Fsst] def idxArr: Array[Int] = miniIdx
+    private[Fsst] def dataArr: Array[Long] = miniData
+    private[Fsst] def oneArr: Array[Int] = oneByte
+
     /** longest symbol matching data[pos..end); returns (code<<8 | len)
       * packed so the hot loop never dereferences the symbols array; -1 if
       * none
@@ -267,6 +272,13 @@ object Fsst extends Codec {
       c += 1
     }
 
+    // hot loop: the match is inlined here with the table's flat arrays held
+    // in locals — no field loads through `table` per position, and the
+    // common case (avail ≥ 8, 0–2 candidates in the 2-byte bucket) runs
+    // straight-line
+    val miniIdx = table.idxArr
+    val miniData = table.dataArr
+    val oneByte = table.oneArr
     val payload = new ByteWriter(4096)
     var scratch = new Array[Byte](1024) // raw reusable code buffer
     var i = 0
@@ -277,7 +289,33 @@ object Fsst extends Codec {
       val buf = scratch
       var out = 0
       var pos = 0
-      while (pos < n) {
+      val nBulk = n - 8 // positions where a full 8-byte window exists
+      while (pos <= nBulk) {
+        val b0 = v(pos) & 0xff
+        val oc = miniIdx((b0 << 8) | (v(pos + 1) & 0xff))
+        var packed = -1
+        if (oc != 0) {
+          var k = oc >>> 9
+          val stop = k + (oc & 0x1ff) * 3
+          val w = LE_LONG.get(v, pos).asInstanceOf[Long]
+          while (packed < 0 && k < stop) {
+            if ((w & miniData(k)) == miniData(k + 1)) packed = miniData(k + 2).toInt
+            k += 3
+          }
+        }
+        if (packed < 0) packed = oneByte(b0)
+        if (packed >= 0) {
+          buf(out) = (packed >>> 8).toByte
+          out += 1
+          pos += packed & 0xff
+        } else {
+          buf(out) = EscapeCode.toByte
+          buf(out + 1) = v(pos)
+          out += 2
+          pos += 1
+        }
+      }
+      while (pos < n) { // tail: windows shorter than 8 bytes
         val packed = table.findLongestPacked(v, pos, n)
         if (packed >= 0) {
           buf(out) = (packed >>> 8).toByte
