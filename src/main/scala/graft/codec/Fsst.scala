@@ -338,29 +338,53 @@ object Fsst extends Codec {
   def decode(meta: Array[Byte], payload: Array[Byte], count: Int): Array[Array[Byte]] = {
     val m = new ByteReader(meta)
     val n = m.readByte()
-    val symbols = new Array[Array[Byte]](n)
+    // each symbol padded into one little-endian long + its length: emitting
+    // a symbol is a single unconditional 8-byte store (into slack space)
+    // plus a cursor advance by the true length — no per-symbol arraycopy
+    val symWord = new Array[Long](n)
+    val symLen = new Array[Int](n)
     var c = 0
-    while (c < n) { symbols(c) = m.readBytes(m.readByte()); c += 1 }
+    while (c < n) {
+      val s = m.readBytes(m.readByte())
+      var w = 0L
+      var j = 0
+      while (j < s.length) { w |= (s(j).toLong & 0xffL) << (8 * j); j += 1 }
+      symWord(c) = w
+      symLen(c) = s.length
+      c += 1
+    }
 
-    val r = new ByteReader(payload)
+    val bytes = payload
+    var rp = 0 // manual cursor: the loop is 2 loads + a store per code
+    def readVarInt(): Int = {
+      var v = 0; var shift = 0; var b = 0
+      do {
+        b = bytes(rp) & 0xff; rp += 1
+        v |= (b & 0x7f) << shift; shift += 7
+      } while ((b & 0x80) != 0)
+      v
+    }
     val out = new Array[Array[Byte]](count)
-    val scratch = new ByteWriter(1024)
+    var scratch = new Array[Byte](1032)
     var i = 0
     while (i < count) {
-      val nCodes = r.readVarInt()
-      scratch.clear()
+      val nCodes = readVarInt()
+      if (scratch.length < nCodes * 8 + 8) scratch = new Array[Byte](nCodes * 8 + 8)
+      val buf = scratch
+      var pos = 0
       var j = 0
       while (j < nCodes) {
-        val code = r.readByte()
+        val code = bytes(rp) & 0xff
+        rp += 1
         j += 1
         if (code == EscapeCode) {
-          scratch.writeByte(r.readByte())
-          j += 1
+          buf(pos) = bytes(rp); rp += 1; pos += 1; j += 1
         } else {
-          scratch.writeBytes(symbols(code))
+          LE_LONG.set(buf, pos, symWord(code))
+          pos += symLen(code)
         }
       }
-      out(i) = scratch.result()
+      out(i) = Arrays.copyOf(buf, pos)
       i += 1
     }
     out
