@@ -91,7 +91,7 @@ object Avro {
       val schema = stream.getSchema
       val out = scala.collection.mutable.ArrayBuffer.empty[String]
       def bad(msg: String): Unit = onBadLines match {
-        case ErrorOnBad => throw new IllegalStateException(s"bad avro record: $msg")
+        case ErrorOnBad => throw new SerdeErrors.IllegalRowException(msg)
         case WarnOnBad => System.err.println(s"[graft] skipping bad avro record: $msg")
         case SkipOnBad =>
       }

@@ -141,8 +141,8 @@ object Protobuf {
       // (errorOnUnknownFields): fail on a field number the descriptor does
       // not declare, else keep it under a f<number> key
       if (fd.isEmpty && errorOnUnknownFields)
-        throw new IllegalArgumentException(
-          s"unknown field number $num in message ${desc.fullName}")
+        throw new SerdeErrors.IllegalCellException(
+          s"f$num", s"unknown field number $num in message ${desc.fullName}")
       val key = fd.map(_.name).getOrElse(s"f$num")
       def putV(v: com.fasterxml.jackson.databind.JsonNode): Unit =
         if (fd.exists(_.repeated)) {

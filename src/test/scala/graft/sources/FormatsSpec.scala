@@ -165,8 +165,12 @@ class FormatsSpec extends AnyFunSuite {
     val err = intercept[org.apache.spark.SparkException] {
       Avro.read(spark, s"$dir/avro", Avro.ErrorOnBad).count()
     }
-    assert(err.getMessage.contains("bad avro record") ||
-      Option(err.getCause).exists(_.getMessage.contains("bad avro record")))
+    // typed taxonomy: the root failure is an IllegalRowException
+    def causes(t: Throwable): Iterator[Throwable] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+    assert(causes(err).exists(c =>
+      c.isInstanceOf[SerdeErrors.IllegalRowException] ||
+        c.getMessage.contains("illegal row")))
     // SKIP and WARN keep whatever decodes cleanly before the corruption
     val skipped = Avro.read(spark, s"$dir/avro", Avro.SkipOnBad).count()
     assert(skipped < 4, s"corrupt tail must drop records, got $skipped")

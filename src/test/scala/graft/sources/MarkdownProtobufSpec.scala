@@ -308,11 +308,12 @@ class MarkdownProtobufSpec extends AnyFunSuite {
     val lenient = Protobuf.decodeWithDescriptor(withUnknown, desc, reg)
     assert(lenient.get("name").asText() == "Bob")
     assert(lenient.get("f99").asLong() == 42L)
-    val e = intercept[IllegalArgumentException] {
+    val e = intercept[SerdeErrors.IllegalCellException] {
       Protobuf.decodeWithDescriptor(withUnknown, desc, reg,
         errorOnUnknownFields = true)
     }
     assert(e.getMessage.contains("unknown field number 99"))
+    assert(e.field == "f99")
   }
 
   test("writeDelimited + built descriptor set round-trips a DataFrame") {
