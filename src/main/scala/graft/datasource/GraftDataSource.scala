@@ -108,7 +108,8 @@ class GraftTable(path: String, tableSchema: StructType) extends Table
   override def schema(): StructType = tableSchema
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,
-      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
+      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
+      TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftScanBuilder(path, tableSchema)
   override def newWriteBuilder(
@@ -535,6 +536,90 @@ final case class GraftScan(path: String, required: StructType, preds: Seq[GraftP
 
   override def createReaderFactory(): PartitionReaderFactory =
     GraftReaderFactory(required.fieldNames, preds)
+
+  override def toMicroBatchStream(
+      checkpointLocation: String): org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new GraftMicroBatchStream(path, required, preds)
+}
+
+/** `spark.readStream.format("graft")` — the block store as an append-only
+  * streaming source. Committed files are immutable (the writer publishes
+  * whole files from staging, Checkpoint renames its manifest last), so a
+  * micro-batch is exactly "files present at end-offset minus files at
+  * start-offset", read through the same pruned/late-materialized reader as
+  * the batch path. Offsets carry the per-partition file sets explicitly —
+  * append files have random write-ids, so a count-prefix offset would
+  * silently miss files that sort before already-seen ones. (A production
+  * deployment would compact this log the way FileStreamSource does; the
+  * shape per offset is O(files), same as Spark's own file source pre-
+  * compaction.)
+  */
+final class GraftMicroBatchStream(
+    path: String, required: StructType, preds: Seq[GraftPred])
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+  import org.apache.spark.sql.connector.read.streaming.Offset
+
+  private def currentFiles(): Map[Int, Seq[String]] = {
+    val dir = GraftDataSource.blocksDir(path)
+    val fs = dir.getFileSystem(
+      org.apache.spark.sql.SparkSession.active.sparkContext.hadoopConfiguration)
+    fs.listStatus(dir)
+      .filter(_.getPath.getName.startsWith("partId="))
+      .map { st =>
+        val id = st.getPath.getName.stripPrefix("partId=").toInt
+        id -> fs.listStatus(st.getPath)
+          .filter(_.getPath.getName.endsWith(".parquet"))
+          .map(_.getPath.toString).sorted.toSeq
+      }.toMap
+  }
+
+  override def latestOffset(): Offset = GraftStreamOffset(currentFiles())
+  override def initialOffset(): Offset = GraftStreamOffset(Map.empty)
+  override def deserializeOffset(json: String): Offset =
+    GraftStreamOffset.fromJson(json)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[GraftStreamOffset].files
+    val e = end.asInstanceOf[GraftStreamOffset].files
+    e.toSeq.sortBy(_._1).flatMap { case (partId, files) =>
+      val seen = s.getOrElse(partId, Nil).toSet
+      val fresh = files.filterNot(seen)
+      if (fresh.isEmpty) None
+      else Some(GraftInputPartition(partId, fresh.toArray))
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    GraftReaderFactory(required.fieldNames, preds)
+}
+
+final case class GraftStreamOffset(files: Map[Int, Seq[String]])
+    extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json(): String = {
+    val m = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = m.createObjectNode()
+    files.toSeq.sortBy(_._1).foreach { case (id, fs) =>
+      val arr = root.putArray(id.toString)
+      fs.foreach(arr.add)
+    }
+    m.writeValueAsString(root)
+  }
+}
+
+object GraftStreamOffset {
+  def fromJson(s: String): GraftStreamOffset = {
+    val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(s)
+    val out = scala.collection.mutable.Map.empty[Int, Seq[String]]
+    val names = root.fieldNames()
+    while (names.hasNext) {
+      val k = names.next()
+      val arr = root.get(k)
+      out(k.toInt) = (0 until arr.size()).map(i => arr.get(i).asText())
+    }
+    GraftStreamOffset(out.toMap)
+  }
 }
 
 final case class GraftInputPartition(partId: Int, files: Array[String])

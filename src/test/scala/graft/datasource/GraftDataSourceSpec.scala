@@ -285,6 +285,33 @@ class GraftDataSourceSpec extends AnyFunSuite {
     assert(got.where(col("doc_id_s") === "7").head().getString(2) == "src0")
   }
 
+  test("readStream over a graft store: appends arrive as micro-batches") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream").toString
+    original.limit(100).write.format("graft")
+      .option("sortKeys", "lang").mode("overwrite").save(dir)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-stream-ck").toString
+    val q = spark.readStream.format("graft").load(dir)
+      .writeStream.format("memory").queryName("graft_stream")
+      .option("checkpointLocation", ckpt)
+      .start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("graft_stream").count() == 100)
+      // append-only source: new files form the next micro-batch, no re-reads
+      original.limit(250).write.format("graft")
+        .option("sortKeys", "lang").mode("append").save(dir)
+      q.processAllAvailable()
+      assert(spark.table("graft_stream").count() == 350)
+      assert(graft.verify.Sha256Check.mismatchGroups(
+        original.limit(100).unionAll(original.limit(250)),
+        spark.table("graft_stream"),
+        Seq("doc_id_s", "text", "lang", "source")) == 0)
+      // offset round-trips through its JSON form
+      val off = GraftStreamOffset(Map(3 -> Seq("a.parquet", "b.parquet"), 7 -> Nil))
+      assert(GraftStreamOffset.fromJson(off.json()) == off)
+    } finally q.stop()
+  }
+
   test("SQL over a registered graft table") {
     spark.read.format("graft").load(store).createOrReplaceTempView("graft_docs")
     val n = spark.sql(
