@@ -369,7 +369,14 @@ object Fsst extends Codec {
     var i = 0
     while (i < count) {
       val nCodes = readVarInt()
-      if (scratch.length < nCodes * 8 + 8) scratch = new Array[Byte](nCodes * 8 + 8)
+      // 8x slack sizing overflows Int for values over ~268M codes — blocks
+      // are bounded at 32 MiB raw so this never fires on a graft store;
+      // fail loudly rather than wrap negative and corrupt
+      val need = nCodes.toLong * 8 + 8
+      if (need > Int.MaxValue)
+        throw new IllegalArgumentException(
+          s"FSST value of $nCodes codes exceeds the decodable bound")
+      if (scratch.length < need.toInt) scratch = new Array[Byte](need.toInt)
       val buf = scratch
       var pos = 0
       var j = 0

@@ -366,33 +366,49 @@ final class GraftAggReader(partition: GraftInputPartition, specs: Seq[GraftAgg])
   // is the full block extreme and anything ≥23 chars may be truncated
   private def maybeTruncated(p: String): Boolean = p.length >= 23
 
-  /** running fold of one column's extreme: `exact` over exact prefixes,
-    * `trunc` the best possibly-truncated prefix with its tying blocks
+  /** Running fold of one column's extreme: `exact` over exact prefixes,
+    * plus ALL possibly-truncated prefixes with their blocks — candidate
+    * selection happens at resolve time because domination depends on the
+    * final pivot.
+    *
+    * Candidate rule (min; max is symmetric): let P* be the minimal
+    * truncated prefix. A truncated block with prefix Q is decoded iff Q
+    * starts with P* (or equals it). Soundness: if Q > P* and Q does NOT
+    * start with P*, their first differing char i < |Q| has Q[i] > P*[i],
+    * so EVERY value prefixed by Q exceeds every value prefixed by P* —
+    * the block cannot hold the minimum (P*'s own block is decoded). If Q
+    * starts with P* (prefix24 cut one char earlier, e.g. before a
+    * surrogate), Q-values live inside P*'s range and may undercut P*'s
+    * block's actual min, so Q must be decoded too. A Q that is a proper
+    * prefix OF P* would compare < P*, contradicting P* minimal.
     */
   private final class Ext(min: Boolean) {
     var exact: String = null
-    var trunc: String = null
-    var cand: List[(String, Int)] = Nil // (file, blockIdx) tying `trunc`
+    var trunc: List[(String, String, Int)] = Nil // (prefix, file, blockIdx)
     private def better(a: String, b: String): Boolean =
       if (min) cmp(a, b) < 0 else cmp(a, b) > 0
     def update(p: String, file: String, blockIdx: Int): Unit = {
       if (p == null) return // all-null block: min/max ignore nulls
       if (!maybeTruncated(p)) {
         if (exact == null || better(p, exact)) exact = p
-      } else if (trunc == null || better(p, trunc)) {
-        trunc = p; cand = List((file, blockIdx))
-      } else if (cmp(p, trunc) == 0) cand ::= ((file, blockIdx))
+      } else trunc ::= ((p, file, blockIdx))
     }
-    /** can a value extending `trunc` beat `exact`? (sound-skip direction) */
-    def needDecode: Boolean = trunc != null && (exact == null ||
-      (if (min) cmp(trunc, exact) <= 0
-       else cmp(trunc, exact) >= 0 || exact.startsWith(trunc)))
     def resolve(col: String): String = {
-      if (!needDecode) return exact
+      if (trunc.isEmpty) return exact
+      val pivot = trunc.map(_._1).reduce((a, b) => if (better(a, b)) a else b)
+      // can a value in the pivot's family beat `exact` at all?
+      val mayBeat = exact == null ||
+        (if (min) cmp(pivot, exact) <= 0
+         else cmp(pivot, exact) >= 0 || exact.startsWith(pivot))
+      if (!mayBeat) return exact
       var r = exact
-      cand.foreach { case (file, idx) =>
-        val v = GraftAggReader.blockExtreme(file, partition.partId, col, idx, min)
-        if (v != null && (r == null || better(v, r))) r = v
+      trunc.foreach { case (p, file, idx) =>
+        // min: p extends pivot; max: additionally pivot may extend p
+        val related = p.startsWith(pivot) || (!min && pivot.startsWith(p))
+        if (related) {
+          val v = GraftAggReader.blockExtreme(file, partition.partId, col, idx, min)
+          if (v != null && (r == null || better(v, r))) r = v
+        }
       }
       r
     }

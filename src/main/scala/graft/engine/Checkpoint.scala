@@ -78,7 +78,16 @@ object Checkpoint {
 
     val partitioned = Encoder.partitionInput(df, cols, sortKeys, cfg, Some(skew))
     val blocks = Encoder.encodePartitioned(partitioned, cols, cfg, skipParts = completed)
-    blocks.write
+    // TOTAL sort key before partitionBy: the encoder emits blocks in
+    // (blockIdx, colName) order per partition, but partitionBy alone plans
+    // a sort on partId only — and a tie-heavy sort that SPILLS merges its
+    // runs in arbitrary tie order, interleaving blockIdx runs within a
+    // file. The readers' streaming group cursor requires monotonic
+    // blockIdx per file; sorting on the full key makes that an invariant
+    // of the write, not an accident of spill behavior.
+    blocks
+      .sortWithinPartitions(col("partId"), col("blockIdx"), col("colName"))
+      .write
       .mode(SaveMode.Append)
       .partitionBy("partId")
       .parquet(blocksDir(outDir))

@@ -156,7 +156,10 @@ object FormatQueries {
       .as[(String, String, String)]
       .map { case (lang, txt, m) =>
         val roundTripped = Markdown.toText(Markdown.htmlToMarkdown(Markdown.toHtml(m)))
-        (lang, txt.length.toLong, roundTripped.length.toLong)
+        // DuckDB len() counts codepoints; String.length counts UTF-16
+        // units — they diverge on supplementary chars
+        def cp(s: String): Long = s.codePointCount(0, s.length).toLong
+        (lang, cp(txt), cp(roundTripped))
       }
       .toDF("lang", "txt_len", "rt_len")
       .groupBy(col("lang"))

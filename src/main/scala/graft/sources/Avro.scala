@@ -71,13 +71,7 @@ object Avro {
     }
   }
 
-  /** 250-char data echo in errors, the reference's trimExceptionMessage
-    * discipline (avro/AvroConverter.java:619-627)
-    */
-  private def trim250(v: AnyRef): String = {
-    val s = String.valueOf(v)
-    if (s.length <= 250) s else s.take(250) + "…"
-  }
+  private def trim250(v: AnyRef): String = SerdeErrors.trim250(v)
 
   /** one row per record across all container files under `path` */
   def read(spark: SparkSession, path: String,

@@ -84,13 +84,27 @@ object Csv {
                 !s.getPath.getName.startsWith("."))
               .map(_.getPath.toString).sorted.toSeq
           else Seq(root.toString)
+        // session hadoop settings (credentials, endpoints) must reach the
+        // executors — a bare `new Configuration()` there would lose them
+        val confKv = {
+          val it = spark.sparkContext.hadoopConfiguration.iterator()
+          val b = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+          while (it.hasNext) { val e = it.next(); b += e.getKey -> e.getValue }
+          b.toArray
+        }
         val lines = files.toDS()
           .repartition(math.max(1, files.length))
           .flatMap { f =>
+            val conf = new org.apache.hadoop.conf.Configuration(false)
+            confKv.foreach { case (k, v) => conf.set(k, v) }
             val p = new org.apache.hadoop.fs.Path(f)
             val in = new java.io.BufferedReader(new java.io.InputStreamReader(
-              p.getFileSystem(new org.apache.hadoop.conf.Configuration()).open(p),
-              charset))
+              p.getFileSystem(conf).open(p), charset))
+            // close on task end too: early-terminating consumers (limit)
+            // abandon the iterator before EOF
+            Option(org.apache.spark.TaskContext.get()).foreach(
+              _.addTaskCompletionListener[Unit](_ =>
+                try in.close() catch { case _: java.io.IOException => }))
             new Iterator[String] {
               private var nextLine = advance()
               private def advance(): String = {

@@ -103,7 +103,9 @@ object Markdown {
           closeBlocks()
           val n = hashes.length
           out ++= s"<h$n>${inline(text)}</h$n>\n"
-        case l if l.matches("^\\s*([-*_]\\s*){3,}$") && !l.trim.startsWith("- ") =>
+        // thematic break wins over list interpretation ("- - -" is a rule
+        // per commonmark, not a bullet whose text is "- -")
+        case l if l.matches("^\\s*([-*_]\\s*){3,}$") =>
           closeBlocks()
           out ++= "<hr/>\n"
         case bullet(indent, marker, text) =>

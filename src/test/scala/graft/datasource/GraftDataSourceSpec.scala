@@ -273,6 +273,28 @@ class GraftDataSourceSpec extends AnyFunSuite {
     assert(g.count() == 5)
   }
 
+  test("min/max pushdown exact across 23/24-char prefix cuts (surrogates)") {
+    import spark.implicits._
+    // block A: values cut to a 24-char prefix ("x"*23 + 'b'); block B:
+    // a supplementary char at position 24 forces the 23-char cut ("x"*23).
+    // B's prefix is the byte-smaller pivot, but A's values ARE the true
+    // minimum — the candidate rule must decode prefix-extending blocks too.
+    val base = "x" * 23
+    val vals = (0 until 50).map(i => base + "b" + f"$i%03d") ++
+      (0 until 50).map(i => base + "😀" + f"$i%03d")
+    val df = vals.zipWithIndex.map { case (v, i) => (i.toString, v) }
+      .toDF("id", "v")
+    val dir = java.nio.file.Files.createTempDirectory("graft-agg-sur").toString
+    Checkpoint.encodeResumable(df, Seq("id", "v"), Seq("v"),
+      Encoder.EncodeConfig(numPartitions = 1, blockRows = 50), dir, "sur")
+    val agged = spark.read.format("graft").load(dir)
+      .agg(min(col("v")).as("mn"), max(col("v")).as("mx"))
+    assert(agged.queryExecution.executedPlan.toString.contains("GraftAggScan"))
+    val r = agged.head()
+    assert(r.getString(0) == vals.min, s"min: ${r.getString(0)}")
+    assert(r.getString(1) == vals.max, s"max: ${r.getString(1)}")
+  }
+
   test("scan is vectorized: ColumnarToRow over batch-per-block-group") {
     val got = spark.read.format("graft").load(store)
     val plan = got.queryExecution.executedPlan.toString

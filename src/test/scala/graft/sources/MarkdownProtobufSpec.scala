@@ -80,6 +80,8 @@ class MarkdownProtobufSpec extends AnyFunSuite {
     assert(html.contains("<blockquote>\n<p>quoted</p>\n<p>more</p>\n</blockquote>"), html)
     assert(html.contains("<hr/>"), html)
     assert(html.contains("<table><tr/></table>"), html)
+    // spaced-dash thematic break beats list interpretation (commonmark)
+    assert(Markdown.toHtml("- - -") == "<hr/>", Markdown.toHtml("- - -"))
   }
 
   test("html ordered lists and blockquotes invert to markdown") {
