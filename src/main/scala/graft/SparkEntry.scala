@@ -49,6 +49,7 @@ object SparkEntry {
     "q_embed_topk" -> (EmbedQueries.bruteTopK _),
     "q_embed_lsh_topk" -> (EmbedQueries.lshTopK _),
     "q_embed_lsh_buckets" -> (EmbedQueries.lshBuckets _),
+    "q_embed_ivf_topk" -> (EmbedQueries.ivfTopK _),
     // format serde round-trips (reference task surface)
     "q_csv_roundtrip" -> (FormatQueries.csvRoundtripAgg _),
     "q_yaml_roundtrip" -> (FormatQueries.yamlRoundtripAgg _),
@@ -137,6 +138,7 @@ object SparkEntry {
     "q_embed_topk" -> OracleSql.embedTopK,
     "q_embed_lsh_topk" -> OracleSql.embedLshTopK(),
     "q_embed_lsh_buckets" -> OracleSql.embedLshBuckets(),
+    "q_embed_ivf_topk" -> OracleSql.embedIvfTopK,
     "q_csv_roundtrip" ->
       """SELECT lang, count(*) AS cnt, CAST(sum(n_chars) AS BIGINT) AS total_chars
         |FROM documents GROUP BY lang""".stripMargin,

@@ -127,6 +127,26 @@ object EmbedQueries {
       .where(col("query_id") =!= col("neighbor_id"))
       .select("query_id", "neighbor_id")
       .distinct()
+    rerankTopK(candidates, base)
+  }
+
+  /** probed cells per query in the IVF variant */
+  val IvfProbe = 4
+
+  /** IVF cell count ≈ sqrt(corpus): 2^(bitlen(n)/2), clamped. Integer
+    * bit-length arithmetic so the DuckDB oracle computes the IDENTICAL
+    * value (`length(printf('%b', n))`).
+    */
+  def ivfCellsFor(n: Long): Int = {
+    val bitLen = 64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, n))
+    // Long shift: an Int `1 << 31` would wrap negative (SQL shifts BIGINT)
+    math.min(4096L, math.max(8L, 1L << (bitLen / 2))).toInt
+  }
+
+  /** exact cosine re-rank of a (query_id, neighbor_id) candidate set —
+    * the shared tail of every ANN variant
+    */
+  private def rerankTopK(candidates: DataFrame, base: DataFrame): DataFrame = {
     val vecs = withNorm(base)
     val joined = candidates
       .join(broadcast(vecs.select(col("vec_id").as("query_id"),
@@ -147,6 +167,84 @@ object EmbedQueries {
       .select(col("query_id"), col("neighbor_id"), col("rnk"),
         round(col("cos") * 1000000).cast("long").as("cos_r6"))
       .orderBy("query_id", "rnk")
+  }
+
+  /** IVF-flat ANN: ~sqrt(n) anchor vectors (the first `cells` corpus
+    * vectors) partition the corpus into cells by max-cosine assignment —
+    * computed as a NARROW map against the broadcast anchor array, never an
+    * n×cells join. Queries probe their IvfProbe closest cells; candidates
+    * are the members of probed cells (cells over 8× the expected
+    * population are dropped — the skew guard), then exact cosine re-rank.
+    * At 100 TB the costs stay bounded: anchors are O(sqrt n) broadcast
+    * metadata, assignment is one narrow pass (cells×dim flops/row), and
+    * the candidate join is probes×cell-size, never corpus².
+    * All assignment arithmetic is fixed-order double — the DuckDB oracle
+    * replays it exactly.
+    */
+  def ivfTopK(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val base = load(spark, sfDir, "embeddings").select(col("vec_id"), col("embedding"))
+    val nTotal = base.count()
+    val cells = ivfCellsFor(nTotal)
+    val cellCap = 8L * ((nTotal + cells - 1) / cells)
+    // anchors: O(sqrt n) — driver-side metadata, like the skew plan
+    val anchors: Array[(Int, Array[Double], Double)] = base
+      .where(col("vec_id") < cells)
+      .as[(Long, Seq[Float])].collect().sortBy(_._1)
+      .map { case (id, emb) =>
+        val a = emb.toArray.map(_.toDouble)
+        var nrm = 0.0
+        var j = 0
+        while (j < a.length) { nrm += a(j) * a(j); j += 1 }
+        (id.toInt, a, math.sqrt(nrm))
+      }
+    val bc = spark.sparkContext.broadcast(anchors)
+    val nQ = NumQueries
+    val nProbe = IvfProbe
+    // one narrow pass: per vector its argmax cell; per query the top
+    // nProbe cells. kind 0 = assignment row, kind 1 = probe row.
+    val assignedAndProbes = base.as[(Long, Seq[Float])]
+      .flatMap { case (id, emb) =>
+        val v = emb.toArray
+        var nrm = 0.0
+        var j = 0
+        while (j < v.length) { nrm += v(j).toDouble * v(j).toDouble; j += 1 }
+        val vNorm = math.sqrt(nrm)
+        val as = bc.value
+        val cos = new Array[Double](as.length)
+        var i = 0
+        while (i < as.length) {
+          val (_, a, aNorm) = as(i)
+          var dot = 0.0
+          j = 0
+          while (j < a.length && j < v.length) { dot += v(j).toDouble * a(j); j += 1 }
+          cos(i) = dot / (vNorm * aNorm)
+          i += 1
+        }
+        // argmax, ties to the smaller cell id (ascending scan, strict >)
+        var best = 0
+        i = 1
+        while (i < cos.length) { if (cos(i) > cos(best)) best = i; i += 1 }
+        val assignRow = Iterator.single((0, id, as(best)._1))
+        if (id >= nQ) assignRow
+        else assignRow ++ cos.indices
+          .sortBy(i => (-cos(i), as(i)._1)).take(nProbe)
+          .iterator.map(i => (1, id, as(i)._1))
+      }
+      .toDF("kind", "vec_id", "cell_id")
+    val assigned = assignedAndProbes.where(col("kind") === 0)
+      .select(col("vec_id").as("neighbor_id"), col("cell_id"))
+    val okCells = assigned.groupBy("cell_id")
+      .agg(count(lit(1)).as("csz")).where(col("csz") <= cellCap)
+      .select("cell_id")
+    val probes = assignedAndProbes.where(col("kind") === 1)
+      .select(col("vec_id").as("query_id"), col("cell_id"))
+    val candidates = assigned
+      .join(broadcast(okCells), Seq("cell_id"))
+      .join(broadcast(probes), Seq("cell_id"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .select("query_id", "neighbor_id")
+    rerankTopK(candidates, base)
   }
 
   /** per-band LSH bucket histogram (bucket-size distribution — skew

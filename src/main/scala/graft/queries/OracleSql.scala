@@ -345,6 +345,56 @@ object OracleSql {
          |  CAST(round(cos * 1000000) AS BIGINT) AS cos_r6
          |FROM r WHERE rnk <= ${EmbedQueries.K} ORDER BY query_id, rnk""".stripMargin
 
+  /** q_embed_ivf_topk: replay the IVF pipeline — cell count from the same
+    * integer bit-length formula as `EmbedQueries.ivfCellsFor`
+    * (`length(printf('%b', n))` == 64 - nlz), max-cosine assignment with
+    * ties to the smaller cell, top-IvfProbe probes per query, the 8×
+    * expected-population cell cap, exact re-rank — all in the fixed-order
+    * DOUBLE arithmetic of embedTopK
+    */
+  val embedIvfTopK: String = {
+    val nq = EmbedQueries.NumQueries
+    val probe = EmbedQueries.IvfProbe
+    val k = EmbedQueries.K
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+       |n AS (SELECT vec_id, emb,
+       |        sqrt(list_sum(list_transform(emb, x -> x * x))) AS nrm FROM e),
+       |prm AS (SELECT LEAST(4096, GREATEST(8,
+       |          1::BIGINT << (length(printf('%b', cnt)) // 2))) AS cells, cnt
+       |        FROM (SELECT count(*) AS cnt FROM e)),
+       |cap AS (SELECT 8 * ((cnt + cells - 1) // cells) AS cellcap FROM prm),
+       |sc AS (SELECT v.vec_id, a.vec_id AS cell_id,
+       |        list_sum(list_transform(range(1, 65), i -> v.emb[i] * a.emb[i]))
+       |          / (v.nrm * a.nrm) AS cos
+       |       FROM n v, n a, prm WHERE a.vec_id < prm.cells),
+       |rk AS (SELECT vec_id, cell_id, cos,
+       |        row_number() OVER (PARTITION BY vec_id
+       |          ORDER BY cos DESC, cell_id) AS r FROM sc),
+       |assigned AS (SELECT vec_id AS neighbor_id, cell_id FROM rk WHERE r = 1),
+       |ok AS (SELECT cell_id FROM assigned, cap
+       |       GROUP BY cell_id, cap.cellcap HAVING count(*) <= cap.cellcap),
+       |probes AS (SELECT vec_id AS query_id, cell_id FROM rk
+       |           WHERE vec_id < $nq AND r <= $probe),
+       |cand AS (SELECT p.query_id, a.neighbor_id
+       |         FROM probes p
+       |         JOIN ok USING (cell_id)
+       |         JOIN assigned a USING (cell_id)
+       |         WHERE a.neighbor_id != p.query_id),
+       |pairs AS (SELECT c.query_id, c.neighbor_id,
+       |        list_sum(list_transform(range(1, 65), i -> q.emb[i] * nb.emb[i]))
+       |          / (q.nrm * nb.nrm) AS cos
+       |        FROM cand c
+       |        JOIN n q ON q.vec_id = c.query_id
+       |        JOIN n nb ON nb.vec_id = c.neighbor_id),
+       |r2 AS (SELECT query_id, neighbor_id,
+       |        CAST(row_number() OVER (PARTITION BY query_id
+       |          ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rnk, cos
+       |       FROM pairs)
+       |SELECT query_id, neighbor_id, rnk,
+       |  CAST(round(cos * 1000000) AS BIGINT) AS cos_r6
+       |FROM r2 WHERE rnk <= $k ORDER BY query_id, rnk""".stripMargin
+  }
+
   /** q_embed_topk: exact cosine top-k in DOUBLE arithmetic with the same
     * left-to-right summation order as the Spark fold
     */

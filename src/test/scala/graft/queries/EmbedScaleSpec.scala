@@ -26,6 +26,41 @@ class EmbedScaleSpec extends AnyFunSuite {
     assert(EmbedQueries.lshBitsFor(Long.MaxValue) == 24)
   }
 
+  test("IVF cells formula: ~sqrt(n), integer-exact, clamped") {
+    assert(EmbedQueries.ivfCellsFor(1) == 8)
+    assert(EmbedQueries.ivfCellsFor(1000) == 32) // bitlen 10 -> 2^5
+    assert(EmbedQueries.ivfCellsFor(1024) == 32) // bitlen 11 -> 2^5
+    assert(EmbedQueries.ivfCellsFor(1 << 20) == 1024) // bitlen 21 -> 2^10
+    assert(EmbedQueries.ivfCellsFor(Long.MaxValue) == 4096)
+  }
+
+  test("IVF finds the planted near-duplicate as the top neighbor") {
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    val n = 2000
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf").toString
+    // vectors 0..9 are queries; vector 1000+q is a slightly-perturbed copy
+    // of query q — IVF must place copy and query in the same cell and
+    // surface it as the #1 neighbor despite probing only IvfProbe cells
+    spark.range(0, n, 1, 8).map { i =>
+      val src: Long = if (i >= 1000 && i < 1010) i - 1000 else i.toLong
+      val rng = new java.util.SplittableRandom(7L * src + 13)
+      val base = Array.fill(64)((rng.nextDouble() * 2 - 1).toFloat)
+      val emb = if (src == i) base else {
+        val jit = new java.util.SplittableRandom(99L * i)
+        base.map(x => x + (jit.nextDouble() * 0.02 - 0.01).toFloat)
+      }
+      (i, emb, (i % 10).toInt)
+    }.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+
+    val top = EmbedQueries.ivfTopK(spark, dir)
+      .where(org.apache.spark.sql.functions.col("rnk") === 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val hits = (0L until 10L).count(q => top.get(q).contains(q + 1000))
+    assert(hits >= 8, s"planted near-dups found as top-1 for only $hits/10")
+  }
+
   test("mean bucket size stays near the target as the corpus grows 16x") {
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
