@@ -228,10 +228,19 @@ object EmbedQueries {
         val assignRow = Iterator.single((0, id, as(best)._1))
         if (id >= nQ) assignRow
         else assignRow ++ cos.indices
-          .sortBy(i => (-cos(i), as(i)._1)).take(nProbe)
+          // IEEE comparisons (±0.0 equal → cell-id tiebreak), matching the
+          // oracle's ORDER BY cos DESC, cell_id — a (-cos, id) sortBy key
+          // would rank -0.0 below +0.0 under Scala's total ordering
+          .sortWith((a, b) => cos(a) > cos(b) ||
+            (cos(a) == cos(b) && as(a)._1 < as(b)._1))
+          .take(nProbe)
           .iterator.map(i => (1, id, as(i)._1))
       }
       .toDF("kind", "vec_id", "cell_id")
+      // the assignment pass is the dominant cost (cells×dim flops per
+      // row) and feeds three consumers — persist its narrow output so the
+      // pass runs once, not per action
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val assigned = assignedAndProbes.where(col("kind") === 0)
       .select(col("vec_id").as("neighbor_id"), col("cell_id"))
     val okCells = assigned.groupBy("cell_id")
