@@ -312,26 +312,45 @@ class GraftDataSourceSpec extends AnyFunSuite {
     original.limit(100).write.format("graft")
       .option("sortKeys", "lang").mode("overwrite").save(dir)
     val ckpt = java.nio.file.Files.createTempDirectory("graft-stream-ck").toString
-    val q = spark.readStream.format("graft").load(dir)
-      .writeStream.format("memory").queryName("graft_stream")
-      .option("checkpointLocation", ckpt)
+    // foreachBatch (not the memory sink): it supports checkpoint recovery,
+    // which the restart leg below depends on
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[org.apache.spark.sql.Row]()
+    def start() = spark.readStream.format("graft").load(dir)
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch((b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+          _: Long) => { b.collect().foreach(seen.add); () })
       .start()
+    val q = start()
     try {
       q.processAllAvailable()
-      assert(spark.table("graft_stream").count() == 100)
+      assert(seen.size == 100)
       // append-only source: new files form the next micro-batch, no re-reads
       original.limit(250).write.format("graft")
         .option("sortKeys", "lang").mode("append").save(dir)
       q.processAllAvailable()
-      assert(spark.table("graft_stream").count() == 350)
+      assert(seen.size == 350)
+      import scala.jdk.CollectionConverters._
+      val got = spark.createDataFrame(
+        seen.asScala.toSeq.asJava, spark.read.format("graft").load(dir).schema)
       assert(graft.verify.Sha256Check.mismatchGroups(
-        original.limit(100).unionAll(original.limit(250)),
-        spark.table("graft_stream"),
+        original.limit(100).unionAll(original.limit(250)), got,
         Seq("doc_id_s", "text", "lang", "source")) == 0)
       // offset round-trips through its JSON form
       val off = GraftStreamOffset(Map(3 -> Seq("a.parquet", "b.parquet"), 7 -> Nil))
       assert(GraftStreamOffset.fromJson(off.json()) == off)
     } finally q.stop()
+
+    // checkpoint recovery: a restarted query resumes from the committed
+    // offset (deserializeOffset path) and sees ONLY files appended since
+    seen.clear()
+    original.limit(40).write.format("graft")
+      .option("sortKeys", "lang").mode("append").save(dir)
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      assert(seen.size == 40,
+        s"restart must resume from the committed offset, got ${seen.size}")
+    } finally q2.stop()
   }
 
   test("SQL over a registered graft table") {
