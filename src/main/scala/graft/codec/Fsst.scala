@@ -138,8 +138,9 @@ object Fsst extends Codec {
     }
 
     // 8 KiB L1-resident bitmap over the 2-byte pairs with any len≥2
-    // candidate: ~40% of text positions have none (measured: 36% one-byte
-    // + 4% escape), and the bit test spares them the 256 KiB miniIdx load
+    // candidate: 34% of content positions have none (FsstProbe's
+    // no-candidate-pair counter measures the bit directly), and the bit
+    // test spares them the 256 KiB miniIdx load
     private val miniHas: Array[Long] = {
       val h = new Array[Long](1024)
       var i = 0
@@ -154,7 +155,7 @@ object Fsst extends Codec {
     private[Fsst] def idxArr: Array[Int] = miniIdx
     private[Fsst] def dataArr: Array[Long] = miniData
     private[Fsst] def oneArr: Array[Int] = oneByte
-    private[Fsst] def hasArr: Array[Long] = miniHas
+    private[graft] def hasArr: Array[Long] = miniHas // graft: FsstProbe reads it
 
     /** longest symbol matching data[pos..end); returns (code<<8 | len)
       * packed so the hot loop never dereferences the symbols array; -1 if

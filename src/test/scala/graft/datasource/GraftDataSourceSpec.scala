@@ -350,6 +350,14 @@ class GraftDataSourceSpec extends AnyFunSuite {
       q2.processAllAvailable()
       assert(seen.size == 40,
         s"restart must resume from the committed offset, got ${seen.size}")
+      // pin CONTENT, not just count: replaying old files that happen to
+      // total 40 rows must fail
+      import scala.jdk.CollectionConverters._
+      val got2 = spark.createDataFrame(
+        seen.asScala.toSeq.asJava, spark.read.format("graft").load(dir).schema)
+      assert(graft.verify.Sha256Check.mismatchGroups(
+        original.limit(40), got2,
+        Seq("doc_id_s", "text", "lang", "source")) == 0)
     } finally q2.stop()
   }
 
