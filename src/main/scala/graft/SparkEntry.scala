@@ -27,6 +27,7 @@ object SparkEntry {
     "q_point_lookup" -> (CoreQueries.pointLookup _),
     "q_dsv2_lookup" -> (CoreQueries.dsv2Lookup _),
     "q_dsv2_agg" -> (CoreQueries.dsv2Agg _),
+    "q_key_lookup" -> (CoreQueries.keyLookup _),
     "q_codec_selection" -> (CoreQueries.codecSelection _),
     "q_encode_metrics" -> (CoreQueries.encodeMetrics _),
     // relational coverage: agg / broadcast join / window / time window
@@ -91,6 +92,13 @@ object SparkEntry {
       """SELECT min(CAST(doc_id AS VARCHAR)) AS mn_id, max(CAST(doc_id AS VARCHAR)) AS mx_id,
         |  min(text) AS mn_text, max(text) AS mx_text, count(*) AS n
         |FROM documents""".stripMargin,
+    "q_key_lookup" ->
+      """SELECT CAST(doc_id AS VARCHAR) AS doc_id_s,
+        |  source || '/' || CAST(doc_id AS VARCHAR) AS doc_key, lang, sha256(text) AS h
+        |FROM documents
+        |WHERE source || '/' || CAST(doc_id AS VARCHAR) =
+        |  (SELECT source || '/' || CAST(doc_id AS VARCHAR)
+        |   FROM documents WHERE doc_id = 42)""".stripMargin,
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(round(sum(l_quantity)*100) AS BIGINT) AS sum_qty_c,

@@ -32,32 +32,40 @@ object Wrap {
     case other => throw new IllegalArgumentException(s"unknown wrap id $other")
   }
 
-  def decompress(wrapId: Byte, data: Array[Byte]): Array[Byte] = wrapId match {
-    case WrapId.None => data
+  def decompress(wrapId: Byte, data: Array[Byte]): Array[Byte] =
+    decompress(wrapId, data, 0)
+
+  /** decompress starting at `off` (the block container sits after the
+    * membership-filter header inside EncodedBlock.data)
+    */
+  def decompress(wrapId: Byte, data: Array[Byte], off: Int): Array[Byte] = wrapId match {
+    case WrapId.None =>
+      if (off == 0) data
+      else java.util.Arrays.copyOfRange(data, off, data.length)
     case WrapId.Zstd =>
-      val r = new ByteReader(data)
+      val r = new ByteReader(data, off)
       val origLen = r.readVarInt()
       com.github.luben.zstd.Zstd.decompress(r.readBytes(r.remaining), origLen)
     case WrapId.Deflate =>
-      val r = new ByteReader(data)
+      val r = new ByteReader(data, off)
       val origLen = r.readVarInt()
       val inf = new Inflater(true)
       inf.setInput(r.readBytes(r.remaining))
       val out = new Array[Byte](origLen)
-      var off = 0
-      while (off < origLen && !inf.finished()) {
-        val n = inf.inflate(out, off, origLen - off)
+      var done = 0
+      while (done < origLen && !inf.finished()) {
+        val n = inf.inflate(out, done, origLen - done)
         // inflate returns 0 with needsInput on truncated/corrupt data —
         // must throw (not spin) so the decode bad-block policy can act
         if (n == 0 && (inf.needsInput() || inf.needsDictionary())) {
           inf.end()
           throw new IllegalStateException(
-            s"truncated deflate stream at $off/$origLen bytes")
+            s"truncated deflate stream at $done/$origLen bytes")
         }
-        off += n
+        done += n
       }
       inf.end()
-      require(off == origLen, s"deflate underflow: $off != $origLen")
+      require(done == origLen, s"deflate underflow: $done != $origLen")
       out
     case other => throw new IllegalArgumentException(s"unknown wrap id $other")
   }

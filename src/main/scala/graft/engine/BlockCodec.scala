@@ -10,15 +10,35 @@ import graft.model.{EncodedBlock, WrapId}
   *   [null bitmap: ceil(n/8)]       present iff bit0 (bit set = null)
   *   [varint metaLen][meta][payload]
   *
-  * `EncodedBlock.data` = Wrap(wrapId, container). The wrap is kept only when
-  * it actually shrinks the block (measured, not guessed) — mirroring the
-  * reference layering GZIP over dictionary-encoded Parquet pages
+  * `EncodedBlock.data` = [varint filterLen][filter?] ++ Wrap(wrapId, container).
+  * The optional membership filter (graft.codec.BlockFilter, split-block
+  * bloom) sits OUTSIDE the wrap so `mayContain` probes it without
+  * decompressing anything; it is built only for codecs that lack exact
+  * membership metadata (plain/RLE/FSST/hex — dict blocks binary-search
+  * their dictionary and FoR blocks range-check instead) and only for
+  * key-shaped values (bounded average length), so the 94%-of-bytes content
+  * column pays nothing. The wrap is kept only when it actually shrinks the
+  * block (measured, not guessed) — mirroring the reference layering GZIP
+  * over dictionary-encoded Parquet pages
   * (reference: parquet/IonToParquet.java:186-188) but decided per block.
   */
 object BlockCodec {
 
   val WrapAttemptMinBytes = 512
   val WrapKeepRatio = 0.98
+
+  /** membership-filter gates: only blocks with at least this many non-null
+    * values (pruning tiny blocks saves nothing) of key-like size (long text
+    * is never point-looked-up by full value; hashing it would tax the
+    * encode hot path for dead weight)
+    */
+  val FilterMinValues = 16
+  val FilterMaxAvgLen = 256
+
+  private def filterEligible(codecId: Byte): Boolean =
+    codecId != graft.model.CodecId.Dict &&
+      codecId != graft.model.CodecId.DictRle &&
+      codecId != graft.model.CodecId.ForLong
 
   /** Encode one column block. `values` may contain nulls; `preferred` is the
     * partition-level selector choice, re-validated on the block (sampled
@@ -74,11 +94,38 @@ object BlockCodec {
     val container = w.result()
 
     var wrapId = WrapId.None
-    var data = container
+    var wrapped = container
     if (container.length >= WrapAttemptMinBytes) {
       val z = Wrap.compress(WrapId.Zstd, container, zstdLevel)
-      if (z.length < container.length * WrapKeepRatio) { wrapId = WrapId.Zstd; data = z }
+      if (z.length < container.length * WrapKeepRatio) { wrapId = WrapId.Zstd; wrapped = z }
     }
+
+    // membership filter (split-block bloom) for codecs without exact
+    // membership metadata — sized on the distinct-hash count so duplicate
+    // values don't inflate it
+    val filter: Array[Byte] =
+      if (filterEligible(codec.id) && nonNull.length >= FilterMinValues &&
+          rawBytes <= nonNull.length.toLong * FilterMaxAvgLen) {
+        val hashes = new Array[Long](nonNull.length)
+        i = 0
+        while (i < nonNull.length) { hashes(i) = BlockFilter.hash64(nonNull(i)); i += 1 }
+        val sorted = java.util.Arrays.copyOf(hashes, hashes.length)
+        java.util.Arrays.sort(sorted)
+        var distinct = 1
+        i = 1
+        while (i < sorted.length) {
+          if (sorted(i) != sorted(i - 1)) distinct += 1
+          i += 1
+        }
+        BlockFilter.build(hashes, distinct)
+      } else null
+
+    val fw = new ByteWriter(
+      (if (filter == null) 0 else filter.length) + wrapped.length + 4)
+    fw.writeVarInt(if (filter == null) 0 else filter.length)
+    if (filter != null) fw.writeBytes(filter)
+    fw.writeBytes(wrapped)
+    val data = fw.result()
 
     // min/max value prefixes for block skipping (unsigned-lex on bytes ==
     // the UTF-8 code-point order Spark string comparisons use)
@@ -108,17 +155,20 @@ object BlockCodec {
     }
   }
 
-  /** Cheap may-contain test WITHOUT decoding the payload: dict blocks
-    * binary-search the dictionary; FoR blocks range-check against
-    * (min, width) from meta. Other codecs answer true (caller decodes).
-    * This is the block-skipping analog of Parquet dictionary/stats pruning.
+  /** Cheap may-contain test WITHOUT decoding the payload: the membership
+    * filter (when present) answers from its bitmap with zero decompression;
+    * dict blocks binary-search the dictionary; FoR blocks range-check
+    * against (min, width) from meta. Remaining codecs answer true (caller
+    * decodes). This is the block-skipping analog of Parquet
+    * dictionary/stats/bloom pruning.
     */
   def mayContain(b: EncodedBlock, value: Array[Byte]): Boolean = {
-    if (b.codecId != graft.model.CodecId.Dict &&
-        b.codecId != graft.model.CodecId.DictRle &&
-        b.codecId != graft.model.CodecId.ForLong)
-      return true
-    val container = Wrap.decompress(b.wrapId, b.data)
+    val hdr = new ByteReader(b.data)
+    val flen = hdr.readVarInt()
+    if (flen > 0 && !BlockFilter.mayContain(b.data, hdr.position, flen, value))
+      return false
+    if (filterEligible(b.codecId)) return true // filter (or nothing) decided
+    val container = Wrap.decompress(b.wrapId, b.data, hdr.position + flen)
     val r = new ByteReader(container)
     val flags = r.readByte()
     if ((flags & 1) != 0) r.skip((b.rowCount + 7) / 8)
@@ -157,7 +207,9 @@ object BlockCodec {
 
   /** Decode back to the original values (nulls reinserted, bit-identical). */
   def decodeBlock(b: EncodedBlock): Array[Array[Byte]] = {
-    val container = Wrap.decompress(b.wrapId, b.data)
+    val hdr = new ByteReader(b.data)
+    val flen = hdr.readVarInt()
+    val container = Wrap.decompress(b.wrapId, b.data, hdr.position + flen)
     val r = new ByteReader(container)
     val flags = r.readByte()
     val hasNulls = (flags & 1) != 0

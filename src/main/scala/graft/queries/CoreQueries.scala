@@ -102,8 +102,12 @@ object CoreQueries {
           java.nio.file.Files.exists(java.nio.file.Paths.get(old, "blocks"))) old
       else {
         val dir = java.nio.file.Files.createTempDirectory("graft-q-dsv2").toString
+        // doc_key: a unique, NON-sort-key string column (path-like shape) so
+        // the store also exercises high-NDV point lookups (q_key_lookup)
+        val df = docsAsStrings(spark, sfDir).withColumn("doc_key",
+          concat(col("source"), lit("/"), col("doc_id_s")))
         graft.engine.Checkpoint.encodeResumable(
-          docsAsStrings(spark, sfDir), docCols, docSortKeys, docCfg,
+          df, docCols :+ "doc_key", docSortKeys, docCfg,
           dir, s"dsv2:$sfDir")
         dir
       }
@@ -113,6 +117,25 @@ object CoreQueries {
     spark.read.format("graft").load(docStore(spark, sfDir))
       .where(col("lang") === "en")
       .select(col("doc_id_s"), col("lang"), col("source"),
+        sha2(col("text"), 256).as("h"))
+  }
+
+  /** point lookup on a HIGH-NDV key through the DSv2 seam: doc_key =
+    * source || '/' || doc_id is unique per row and NOT a sort key, so
+    * within one source the min/max prefixes cannot prune — this is the
+    * path/commit-hash lookup shape where the per-block membership filter
+    * (graft.codec.BlockFilter, probed by BlockCodec.mayContain before any
+    * decompression) does the skipping. The oracle filters the original
+    * table, so filter pruning must lose nothing.
+    */
+  def keyLookup(spark: SparkSession, sfDir: String): DataFrame = {
+    // deterministic probe key: doc 42's key (exists at every driver sf)
+    val probe = load(spark, sfDir, "documents").where(col("doc_id") === 42)
+      .select(concat(col("source"), lit("/"), col("doc_id").cast("string")))
+      .head().getString(0)
+    spark.read.format("graft").load(docStore(spark, sfDir))
+      .where(col("doc_key") === probe)
+      .select(col("doc_id_s"), col("doc_key"), col("lang"),
         sha2(col("text"), 256).as("h"))
   }
 

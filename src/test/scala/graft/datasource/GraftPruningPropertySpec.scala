@@ -98,6 +98,29 @@ class GraftPruningPropertySpec extends AnyFunSuite {
     assert(pruned > 500, s"only $pruned/$checked predicates pruned")
   }
 
+  test("membership filter: a rejecting plain/FSST/hex block never holds the value") {
+    var rejected = 0
+    for (_ <- 1 to 400) {
+      // >= FilterMinValues so the split-block bloom is actually built
+      val n = BlockCodec.FilterMinValues + rng.nextInt(200)
+      val values = Array.fill(n)(randString() + rng.nextInt(1000))
+      val bytes = values.map(_.getBytes("UTF-8"))
+      val block = BlockCodec.encodeBlock("c", 0, 0, bytes, PlainCodec)
+      // present values may NEVER be rejected (a false negative drops rows)
+      values.foreach { v =>
+        assert(BlockCodec.mayContain(block, v.getBytes("UTF-8")),
+          s"filter rejected a present value [$v]")
+      }
+      val probe = randString() + "-absent-" + rng.nextInt(1000000)
+      if (!BlockCodec.mayContain(block, probe.getBytes("UTF-8"))) {
+        rejected += 1
+        assert(!values.contains(probe))
+      }
+    }
+    // ~99% of absent probes must actually prune, or the filter is dead weight
+    assert(rejected > 300, s"only $rejected/400 absent probes rejected")
+  }
+
   test("dict mayContain: a rejecting block never holds the probed value") {
     var rejected = 0
     for (_ <- 1 to 1500) {
