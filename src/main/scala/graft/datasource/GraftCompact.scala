@@ -1,0 +1,225 @@
+package graft.datasource
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.parquet.hadoop.ParquetReader
+import org.apache.parquet.hadoop.example.{ExampleParquetWriter, GroupReadSupport}
+import org.apache.spark.sql.SparkSession
+
+/** Small-file compaction for a graft block store.
+  *
+  * Streaming appends (`writeStream` → foreachBatch encode, or repeated
+  * `mode("append")` DSv2 writes) land one parquet file per micro-batch per
+  * partition directory. At 100 TB that accretes into thousands of small
+  * files per partition: every scan pays per-file open/footer costs, and
+  * object-store listings dominate planning. Compaction rewrites each
+  * `blocks/partId=N/` directory's files into ONE file, copying every
+  * encoded block byte-for-byte (blocks are immutable — no re-encode, no
+  * decompression) and re-stamping `blockIdx` so the single file keeps the
+  * strictly-increasing-runs invariant the reader's group cursor checks.
+  *
+  * Runs DISTRIBUTED: one task per partition directory; the driver only
+  * lists partition dirs and collects the per-partition report.
+  *
+  * Concurrency contract: OFFLINE with respect to writers and readers of
+  * the same store (the posture of Hive/Iceberg file rewrites). Within that
+  * contract it is crash-safe via a per-partition journal
+  * (`_compact.json`, written temp-then-rename like Checkpoint's manifest):
+  *   1. journal records the deterministic output name + the input files;
+  *   2. data is written to an `.inprogress` name (never listed by readers,
+  *      which match only `*.parquet`) and renamed into place;
+  *   3. inputs are deleted, then the journal.
+  * A crash between 2 and 3 leaves both old and new files on disk — the
+  * READER detects the journal and fails loudly instead of double-counting
+  * (GraftScan.planInputPartitions / the streaming file lister), and
+  * `recover()` — also run automatically at the start of every compaction —
+  * rolls the partition forward (new file complete: finish the deletes) or
+  * back (no new file: drop the partial and the journal).
+  */
+object GraftCompact {
+
+  val JournalName = "_compact.json"
+
+  final case class PartReport(
+      partId: Int, filesBefore: Int, filesAfter: Int,
+      bytesBefore: Long, bytesAfter: Long, blockGroups: Int)
+
+  /** compact every multi-file partition of the store; returns one report
+    * row per partition (skipped single-file partitions report unchanged
+    * counts)
+    */
+  def compactStore(spark: SparkSession, storePath: String): Seq[PartReport] = {
+    val dir = GraftDataSource.blocksDir(storePath)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val partDirs = fs.listStatus(dir)
+      .filter(_.getPath.getName.startsWith("partId="))
+      .map(_.getPath.toString)
+      .sorted
+    spark.sparkContext
+      .parallelize(partDirs.toIndexedSeq, math.max(1, partDirs.length))
+      .map(compactPartition)
+      .collect()
+      .toIndexedSeq
+  }
+
+  /** roll an interrupted compaction forward or back in every partition */
+  def recover(spark: SparkSession, storePath: String): Unit = {
+    val dir = GraftDataSource.blocksDir(storePath)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(dir)
+      .filter(_.getPath.getName.startsWith("partId="))
+      .foreach(st => recoverPartition(st.getPath, new Configuration()))
+  }
+
+  private def compactPartition(partDir: String): PartReport = {
+    val conf = new Configuration()
+    val dir = new Path(partDir)
+    val fs = dir.getFileSystem(conf)
+    val partId = dir.getName.stripPrefix("partId=").toInt
+    recoverPartition(dir, conf)
+
+    val files = fs.listStatus(dir)
+      .filter(_.getPath.getName.endsWith(".parquet"))
+      .sortBy(_.getPath.getName)
+    val bytesBefore = files.map(_.getLen).sum
+    if (files.length <= 1)
+      return PartReport(partId, files.length, files.length, bytesBefore, bytesBefore, 0)
+
+    // deterministic output name (idempotent retries overwrite the same
+    // in-progress path, never collide with an input)
+    val tag = Integer.toHexString(
+      java.util.Arrays.hashCode(files.map(_.getPath.getName.hashCode)))
+    val outFile = new Path(dir, s"part-compact-$tag.parquet")
+    val inProgress = new Path(dir, s"part-compact-$tag.inprogress")
+
+    // 1. journal first (temp-then-rename): from here on, readers refuse the
+    //    partition until the journal is gone — no window where old+new
+    //    could both be counted
+    val journal = new Path(dir, JournalName)
+    val journalTmp = new Path(dir, JournalName + ".tmp")
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = mapper.createObjectNode()
+    root.put("newFile", outFile.getName)
+    val arr = root.putArray("oldFiles")
+    files.foreach(f => arr.add(f.getPath.getName))
+    val out = fs.create(journalTmp, true)
+    out.write(mapper.writeValueAsBytes(root))
+    out.close()
+    if (!fs.rename(journalTmp, journal))
+      throw new java.io.IOException(s"journal rename failed in $dir")
+
+    // 2. stream-copy block rows, re-stamping blockIdx across files
+    if (fs.exists(inProgress)) fs.delete(inProgress, false)
+    org.apache.parquet.hadoop.example.GroupWriteSupport.setSchema(BlockParquet.Schema, conf)
+    val writer = ExampleParquetWriter.builder(
+        org.apache.parquet.hadoop.util.HadoopOutputFile.fromPath(inProgress, conf))
+      .withConf(conf)
+      .withCompressionCodec(org.apache.parquet.hadoop.metadata.CompressionCodecName.SNAPPY)
+      .build()
+    var groups = 0
+    try {
+      var nextIdx = -1
+      files.foreach { f =>
+        val reader = ParquetReader
+          .builder(new GroupReadSupport(), f.getPath)
+          .withConf(new Configuration()) // no projection: full rows
+          .build()
+        try {
+          var lastInThisFile = Int.MinValue
+          var g = reader.read()
+          while (g != null) {
+            val idx = g.getInteger("blockIdx", 0)
+            if (idx != lastInThisFile) {
+              if (idx < lastInThisFile)
+                throw new IllegalStateException(
+                  s"block rows out of order in ${f.getPath} (blockIdx $idx after $lastInThisFile)")
+              lastInThisFile = idx
+              nextIdx += 1
+              groups += 1
+            }
+            writer.write(BlockParquet.copyGroup(g, nextIdx))
+            g = reader.read()
+          }
+        } finally reader.close()
+      }
+    } finally writer.close()
+
+    // 3. publish, sweep inputs, drop the journal
+    if (!fs.rename(inProgress, outFile))
+      throw new java.io.IOException(s"compact rename failed: $inProgress -> $outFile")
+    files.foreach(f => fs.delete(f.getPath, false))
+    fs.delete(journal, false)
+
+    val bytesAfter = fs.getFileStatus(outFile).getLen
+    PartReport(partId, files.length, 1, bytesBefore, bytesAfter, groups)
+  }
+
+  /** journal present → either finish (new file complete) or roll back */
+  private def recoverPartition(dir: Path, conf: Configuration): Unit = {
+    val fs = dir.getFileSystem(conf)
+    val journal = new Path(dir, JournalName)
+    fs.delete(new Path(dir, JournalName + ".tmp"), false)
+    if (!fs.exists(journal)) return
+    val in = fs.open(journal)
+    val root = try new com.fasterxml.jackson.databind.ObjectMapper().readTree(in)
+      finally in.close()
+    val newFile = new Path(dir, root.get("newFile").asText())
+    if (fs.exists(newFile)) {
+      // forward: the compacted file was published; inputs may linger
+      val olds = root.get("oldFiles")
+      (0 until olds.size()).foreach { i =>
+        fs.delete(new Path(dir, olds.get(i).asText()), false)
+      }
+    } else {
+      // back: nothing published; drop any partial
+      fs.listStatus(dir)
+        .filter(_.getPath.getName.endsWith(".inprogress"))
+        .foreach(st => fs.delete(st.getPath, false))
+    }
+    fs.delete(journal, false)
+    ()
+  }
+}
+
+/** shared parquet layout of EncodedBlock rows (the DSv2 writer's schema) */
+private[datasource] object BlockParquet {
+  import org.apache.parquet.schema.MessageTypeParser
+
+  val Schema: org.apache.parquet.schema.MessageType = MessageTypeParser.parseMessageType(
+    """message spark_schema {
+      |  optional binary colName (UTF8);
+      |  required int32 blockIdx;
+      |  required int32 codecId;
+      |  required int32 wrapId;
+      |  required int32 rowCount;
+      |  required int64 rawBytes;
+      |  required int64 encodedBytes;
+      |  optional binary minPrefix (UTF8);
+      |  optional binary maxPrefix (UTF8);
+      |  optional binary data;
+      |}""".stripMargin)
+
+  private val factory = new org.apache.parquet.example.data.simple.SimpleGroupFactory(Schema)
+
+  /** re-materialize a block row read from EITHER graft writer's layout
+    * under the shared schema, with a re-stamped blockIdx
+    */
+  def copyGroup(g: org.apache.parquet.example.data.Group, blockIdx: Int)
+      : org.apache.parquet.example.data.Group = {
+    val out = factory.newGroup()
+    out.append("colName", g.getString("colName", 0))
+    out.append("blockIdx", blockIdx)
+    out.append("codecId", g.getInteger("codecId", 0))
+    out.append("wrapId", g.getInteger("wrapId", 0))
+    out.append("rowCount", g.getInteger("rowCount", 0))
+    out.append("rawBytes", g.getLong("rawBytes", 0))
+    out.append("encodedBytes", g.getLong("encodedBytes", 0))
+    if (g.getFieldRepetitionCount("minPrefix") > 0)
+      out.append("minPrefix", g.getString("minPrefix", 0))
+    if (g.getFieldRepetitionCount("maxPrefix") > 0)
+      out.append("maxPrefix", g.getString("maxPrefix", 0))
+    out.append("data", org.apache.parquet.io.api.Binary.fromConstantByteArray(
+      g.getBinary("data", 0).getBytes))
+    out
+  }
+}

@@ -541,7 +541,15 @@ final case class GraftScan(path: String, required: StructType, preds: Seq[GraftP
       .filter(_.getPath.getName.startsWith("partId="))
       .sortBy(_.getPath.getName)
       .map { st =>
-        val files = fs.listStatus(st.getPath)
+        val listed = fs.listStatus(st.getPath)
+        // an interrupted compaction may have published its merged file but
+        // not yet swept the inputs — counting both would duplicate rows, so
+        // fail loudly instead (GraftCompact.recover rolls it forward/back)
+        if (listed.exists(_.getPath.getName == GraftCompact.JournalName))
+          throw new IllegalStateException(
+            s"incomplete compaction in ${st.getPath} (found " +
+              s"${GraftCompact.JournalName}) — run GraftCompact.recover first")
+        val files = listed
           .filter(_.getPath.getName.endsWith(".parquet"))
           .map(_.getPath.toString)
         GraftInputPartition(
@@ -583,7 +591,11 @@ final class GraftMicroBatchStream(
       .filter(_.getPath.getName.startsWith("partId="))
       .map { st =>
         val id = st.getPath.getName.stripPrefix("partId=").toInt
-        id -> fs.listStatus(st.getPath)
+        val listed = fs.listStatus(st.getPath)
+        if (listed.exists(_.getPath.getName == GraftCompact.JournalName))
+          throw new IllegalStateException(
+            s"incomplete compaction in ${st.getPath} — run GraftCompact.recover first")
+        id -> listed
           .filter(_.getPath.getName.endsWith(".parquet"))
           .map(_.getPath.toString).sorted.toSeq
       }.toMap

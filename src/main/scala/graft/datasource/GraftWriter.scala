@@ -8,7 +8,6 @@ import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.Path
 import org.apache.parquet.example.data.simple.SimpleGroupFactory
 import org.apache.parquet.hadoop.example.ExampleParquetWriter
-import org.apache.parquet.schema.MessageTypeParser
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
 import org.apache.spark.sql.connector.expressions.{Expressions, SortOrder}
@@ -140,20 +139,9 @@ final class GraftDataWriter(
   private var fsstTables: Array[graft.codec.Fsst.Table] = null
 
   // EncodedBlock fields as written by Spark's parquet writer (partId lives
-  // in the directory name); repetitions must match the reader's projection
-  private val blockSchema = MessageTypeParser.parseMessageType(
-    """message spark_schema {
-      |  optional binary colName (UTF8);
-      |  required int32 blockIdx;
-      |  required int32 codecId;
-      |  required int32 wrapId;
-      |  required int32 rowCount;
-      |  required int64 rawBytes;
-      |  required int64 encodedBytes;
-      |  optional binary minPrefix (UTF8);
-      |  optional binary maxPrefix (UTF8);
-      |  optional binary data;
-      |}""".stripMargin)
+  // in the directory name); repetitions must match the reader's projection.
+  // Shared with GraftCompact, which rewrites these rows.
+  private val blockSchema = BlockParquet.Schema
   private val groupFactory = new SimpleGroupFactory(blockSchema)
 
   // staged under _staging-<writeId>; the taskId in the name keeps retried
