@@ -28,6 +28,7 @@ object SparkEntry {
     "q_dsv2_lookup" -> (CoreQueries.dsv2Lookup _),
     "q_dsv2_agg" -> (CoreQueries.dsv2Agg _),
     "q_key_lookup" -> (CoreQueries.keyLookup _),
+    "q_compact_roundtrip" -> (CoreQueries.compactRoundtrip _),
     "q_codec_selection" -> (CoreQueries.codecSelection _),
     "q_encode_metrics" -> (CoreQueries.encodeMetrics _),
     // relational coverage: agg / broadcast join / window / time window
@@ -99,6 +100,9 @@ object SparkEntry {
         |WHERE source || '/' || CAST(doc_id AS VARCHAR) =
         |  (SELECT source || '/' || CAST(doc_id AS VARCHAR)
         |   FROM documents WHERE doc_id = 42)""".stripMargin,
+    "q_compact_roundtrip" ->
+      """SELECT lang, count(*) AS cnt, CAST(sum(len(text)) AS BIGINT) AS total_text_len
+        |FROM documents GROUP BY lang""".stripMargin,
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(round(sum(l_quantity)*100) AS BIGINT) AS sum_qty_c,

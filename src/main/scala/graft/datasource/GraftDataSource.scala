@@ -109,7 +109,7 @@ class GraftTable(path: String, tableSchema: StructType) extends Table
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
-      TableCapability.MICRO_BATCH_READ)
+      TableCapability.MICRO_BATCH_READ, TableCapability.STREAMING_WRITE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftScanBuilder(path, tableSchema)
   override def newWriteBuilder(
@@ -580,8 +580,18 @@ final case class GraftScan(path: String, required: StructType, preds: Seq[GraftP
   */
 final class GraftMicroBatchStream(
     path: String, required: StructType, preds: Seq[GraftPred])
-    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
-  import org.apache.spark.sql.connector.read.streaming.Offset
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+  import org.apache.spark.sql.connector.read.streaming.{Offset, ReadLimit}
+
+  // Trigger.AvailableNow: pin the file set once at query start; the run
+  // drains exactly those files and stops, even if appends keep arriving
+  @volatile private var pinned: Map[Int, Seq[String]] = null
+  override def prepareForTriggerAvailableNow(): Unit = pinned = currentFiles()
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset =
+    GraftStreamOffset(if (pinned != null) pinned else currentFiles())
+  override def reportLatestOffset(): Offset = GraftStreamOffset(currentFiles())
 
   private def currentFiles(): Map[Int, Seq[String]] = {
     val dir = GraftDataSource.blocksDir(path)

@@ -56,7 +56,77 @@ class GraftWriteBuilder(path: String, info: LogicalWriteInfo)
       Option(info.options.get("numPartitions")).map(_.toInt).getOrElse(0)
 
     override def toBatch: BatchWrite = new GraftBatchWrite(path, schema, doTruncate, writeId)
+
+    override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
+      if (doTruncate)
+        throw new UnsupportedOperationException(
+          "graft streaming sink supports append output mode only")
+      new GraftStreamingWrite(path, schema, info.queryId())
+    }
   }
+}
+
+/** `df.writeStream.format("graft")` — the block store as a streaming sink,
+  * symmetric to the readStream source. Each micro-batch stages files
+  * exactly like the batch writer, but the published name is DETERMINISTIC
+  * per (query, epoch, partition): a replayed epoch (restart from the
+  * checkpoint, speculative driver retry of commit) finds its file already
+  * in place and discards the duplicate instead of double-publishing —
+  * exactly-once without a separate sink log, because the file NAME is the
+  * commit record. Stores fragmented by many small epochs compact with
+  * GraftCompact.
+  */
+final class GraftStreamingWrite(path: String, schema: StructType, queryId: String)
+    extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
+  import org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory
+
+  // stable per query across restarts (queryId persists in the checkpoint),
+  // short enough for file names
+  private val qTag = Integer.toHexString(queryId.hashCode)
+
+  private def hadoopConf =
+    org.apache.spark.sql.SparkSession.active.sparkContext.hadoopConfiguration
+
+  override def createStreamingWriterFactory(
+      info: PhysicalWriteInfo): StreamingDataWriterFactory =
+    GraftStreamingWriterFactory(path, qTag, schema.fieldNames)
+
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    val blocks = new Path(path, "blocks")
+    val fs = blocks.getFileSystem(hadoopConf)
+    messages.foreach {
+      case GraftCommit(pid, rows, file) if rows > 0 && file != null =>
+        val dest = new Path(new Path(blocks, s"partId=$pid"),
+          s"part-q$qTag-e$epochId-p$pid.parquet")
+        val src = new Path(file)
+        if (fs.exists(dest)) {
+          // replayed epoch: the previous attempt already published this
+          // partition — the new attempt's bytes are the same rows re-encoded
+          fs.delete(src, false)
+        } else {
+          fs.mkdirs(dest.getParent)
+          if (!fs.rename(src, dest))
+            throw new java.io.IOException(s"streaming commit rename failed: $src -> $dest")
+        }
+      case _ =>
+    }
+    val staging = new Path(path, s"blocks/_staging-q$qTag-e$epochId")
+    if (fs.exists(staging)) fs.delete(staging, true)
+  }
+
+  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    val staging = new Path(path, s"blocks/_staging-q$qTag-e$epochId")
+    val fs = staging.getFileSystem(hadoopConf)
+    if (fs.exists(staging)) fs.delete(staging, true)
+  }
+}
+
+final case class GraftStreamingWriterFactory(
+    path: String, qTag: String, cols: Array[String])
+    extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
+  override def createWriter(
+      partitionId: Int, taskId: Long, epochId: Long): DataWriter[InternalRow] =
+    new GraftDataWriter(path, s"q$qTag-e$epochId", cols, partitionId, taskId)
 }
 
 /** Commit protocol (mirrors Checkpoint's temp-dir-then-rename manifest

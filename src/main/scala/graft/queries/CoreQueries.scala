@@ -154,6 +154,27 @@ object CoreQueries {
       count(lit(1)).as("n"))
   }
 
+  /** compaction round-trip: write documents through the DSv2 writer in two
+    * appends (fragmenting every partition directory), compact to one file
+    * per partition, read back through the DSv2 reader. The oracle
+    * aggregates the original table — compaction may move bytes, never rows.
+    */
+  def compactRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-q-compact").toString
+    val df = docsAsStrings(spark, sfDir)
+    df.where(col("doc_id_s").cast("long") % 2 === 0)
+      .write.format("graft").option("sortKeys", "lang,source,doc_id_s")
+      .option("numPartitions", "4").mode("overwrite").save(dir)
+    df.where(col("doc_id_s").cast("long") % 2 === 1)
+      .write.format("graft").option("sortKeys", "lang,source,doc_id_s")
+      .option("numPartitions", "4").mode("append").save(dir)
+    graft.datasource.GraftCompact.compactStore(spark, dir)
+    spark.read.format("graft").load(dir)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(length(col("text"))).cast("long").as("total_text_len"))
+  }
+
   /** sampled stats pass + selector decision per (partition, column) */
   def codecSelection(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
