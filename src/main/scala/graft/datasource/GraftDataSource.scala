@@ -515,7 +515,141 @@ object GraftAggReader {
 }
 
 final case class GraftScan(path: String, required: StructType, preds: Seq[GraftPred])
-    extends Scan with Batch {
+    extends Scan with Batch with SupportsRuntimeFiltering
+    with SupportsReportStatistics {
+
+  /** Size/row statistics from block METADATA only (rowCount + rawBytes
+    * columns of the block parquet files — no `data` page is read). Without
+    * this, Spark assumes a DSv2 table is arbitrarily large
+    * (spark.sql.defaultSizeInBytes) and will never broadcast a small graft
+    * store on the dim side of a join; with it, size-based join planning
+    * works exactly as over native parquet. sizeInBytes is the DECODED size
+    * of the projected columns (planning reasons about in-memory rows, not
+    * compressed blocks), pro-rated when columns are pruned.
+    */
+  override def estimateStatistics(): Statistics = {
+    val wanted = required.fieldNames.toSet
+    // fast path: Checkpoint stores carry a manifest that is
+    // O(partitions x columns) — one small parquet read instead of touching
+    // every partition's block metadata
+    val (rows, bytesAll, bytesRequired) =
+      statsFromManifest(wanted).getOrElse(statsFromBlockMetadata(wanted))
+    val size = if (wanted.isEmpty) bytesAll else bytesRequired
+    val r = rows
+    new Statistics {
+      override def sizeInBytes(): java.util.OptionalLong =
+        java.util.OptionalLong.of(math.max(size, 1L))
+      override def numRows(): java.util.OptionalLong =
+        java.util.OptionalLong.of(r)
+    }
+  }
+
+  private def statsFromManifest(wanted: Set[String]): Option[(Long, Long, Long)] = {
+    val conf = new Configuration()
+    val manifest = new Path(new Path(path), "manifest")
+    val fs = manifest.getFileSystem(conf)
+    if (!fs.exists(manifest)) return None
+    val files = fs.listStatus(manifest).map(_.getPath)
+      .filter(_.getName.endsWith(".parquet"))
+    if (files.isEmpty) return None
+    // the manifest is Spark-written from an aggregated DataFrame, so its
+    // numeric fields are OPTIONAL in the parquet schema
+    conf.set(org.apache.parquet.hadoop.api.ReadSupport.PARQUET_READ_SCHEMA,
+      """message g {
+        |  optional binary colName (UTF8);
+        |  optional int64 rowCount;
+        |  optional int64 rawBytes;
+        |}""".stripMargin)
+    var rows = 0L
+    var bytesAll = 0L
+    var bytesRequired = 0L
+    var firstCol: String = null
+    files.foreach { f =>
+      val reader = ParquetReader
+        .builder(new GroupReadSupport(), f)
+        .withConf(conf)
+        .build()
+      try {
+        def longOr0(g: org.apache.parquet.example.data.Group, field: String): Long =
+          if (g.getFieldRepetitionCount(field) == 0) 0L else g.getLong(field, 0)
+        var g = reader.read()
+        while (g != null) {
+          val c = g.getString("colName", 0)
+          if (firstCol == null) firstCol = c
+          if (c == firstCol) rows += longOr0(g, "rowCount")
+          val raw = longOr0(g, "rawBytes")
+          bytesAll += raw
+          if (wanted.contains(c)) bytesRequired += raw
+          g = reader.read()
+        }
+      } finally reader.close()
+    }
+    Some((rows, bytesAll, bytesRequired))
+  }
+
+  private def statsFromBlockMetadata(wanted: Set[String]): (Long, Long, Long) = {
+    val conf = new Configuration()
+    conf.set(org.apache.parquet.hadoop.api.ReadSupport.PARQUET_READ_SCHEMA,
+      """message g {
+        |  optional binary colName (UTF8);
+        |  required int32 rowCount;
+        |  required int64 rawBytes;
+        |}""".stripMargin)
+    var rows = 0L
+    var bytesAll = 0L
+    var bytesRequired = 0L
+    planInputPartitions().foreach { p =>
+      var firstCol: String = null
+      p.asInstanceOf[GraftInputPartition].files.foreach { f =>
+        val reader = ParquetReader
+          .builder(new GroupReadSupport(), new Path(f))
+          .withConf(conf)
+          .build()
+        try {
+          var g = reader.read()
+          while (g != null) {
+            val c = g.getString("colName", 0)
+            if (firstCol == null) firstCol = c
+            if (c == firstCol) rows += g.getInteger("rowCount", 0)
+            val raw = g.getLong("rawBytes", 0)
+            bytesAll += raw
+            if (wanted.contains(c)) bytesRequired += raw
+            g = reader.read()
+          }
+        } finally reader.close()
+      }
+    }
+    (rows, bytesAll, bytesRequired)
+  }
+
+  /** Runtime (join-derived) filters — the DSv2 analog of dynamic partition
+    * pruning: when this store is the fact side of a broadcast join, Spark
+    * collects the dim side's join-key values at execution time and calls
+    * `filter()` with an In/EqualTo before re-planning the scan. The values
+    * merge into the same per-block pruning pipeline as statically pushed
+    * predicates (min/max prefixes, dictionary search, membership filters),
+    * so blocks holding none of the join keys are skipped without
+    * decompression. Conservative like all pruning here: unsupported filter
+    * shapes are ignored (scan stays complete), and Spark re-checks the join
+    * itself.
+    */
+  @volatile private var runtimePreds: Seq[GraftPred] = Nil
+  private def allPreds: Seq[GraftPred] = preds ++ runtimePreds
+
+  override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    required.fieldNames.map(org.apache.spark.sql.connector.expressions.Expressions.column)
+
+  override def filter(filters: Array[Filter]): Unit =
+    runtimePreds = filters.toSeq.collect {
+      case EqualTo(a, v: String) if v != null => GraftPred("eq", a, v)
+      // cap: probing every block against an unbounded join-key set would
+      // cost more than it prunes; past the cap the scan just stays complete
+      case In(a, vs) if vs != null && vs.nonEmpty &&
+          vs.length <= GraftScan.RuntimeInCap &&
+          vs.forall(v => v != null && v.isInstanceOf[String]) =>
+        GraftPred("in", a, null, vs.toSeq.map(_.asInstanceOf[String]))
+      case IsNotNull(a) => GraftPred("notnull", a, null)
+    }
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -559,7 +693,7 @@ final case class GraftScan(path: String, required: StructType, preds: Seq[GraftP
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    GraftReaderFactory(required.fieldNames, preds)
+    GraftReaderFactory(required.fieldNames, allPreds)
 
   override def toMicroBatchStream(
       checkpointLocation: String): org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
@@ -658,6 +792,11 @@ object GraftStreamOffset {
     }
     GraftStreamOffset(out.toMap)
   }
+}
+
+object GraftScan {
+  /** largest runtime In-set worth probing per block */
+  val RuntimeInCap = 10000
 }
 
 final case class GraftInputPartition(partId: Int, files: Array[String])

@@ -150,6 +150,63 @@ class GraftDataSourceSpec extends AnyFunSuite {
     assert(filtered.head().getLong(0) == 800)
   }
 
+  test("runtime filter() prunes like a pushed filter and loses nothing") {
+    val schema = spark.read.format("graft").load(store).schema
+
+    def rowsAfter(filters: Array[org.apache.spark.sql.sources.Filter]): Long = {
+      val scan = GraftScan(store, schema, Nil)
+      scan.filter(filters)
+      val factory = scan.createReaderFactory()
+      var n = 0L
+      scan.planInputPartitions().foreach { p =>
+        val r = factory.createReader(p)
+        while (r.next()) n += 1
+        r.close()
+      }
+      n
+    }
+
+    // join-derived In-set (the DPP shape): rows outside it never decode
+    assert(rowsAfter(Array(org.apache.spark.sql.sources.In(
+      "lang", Array("en", "ja")))) ==
+      original.where(col("lang").isin("en", "ja")).count())
+    // single-key runtime EqualTo
+    assert(rowsAfter(Array(org.apache.spark.sql.sources.EqualTo("lang", "fr"))) ==
+      original.where(col("lang") === "fr").count())
+    // oversize In-set is ignored — the scan must stay COMPLETE, not empty
+    assert(rowsAfter(Array(org.apache.spark.sql.sources.In(
+      "lang", Array.fill[Any](GraftScan.RuntimeInCap + 1)("en")))) == 4000)
+    // every projected column is advertised as runtime-filterable
+    val attrs = GraftScan(store, schema, Nil).filterAttributes().map(_.describe()).toSet
+    assert(attrs == Set("doc_id_s", "text", "lang", "source"))
+  }
+
+  test("broadcast join against the store stays correct under runtime filtering") {
+    import spark.implicits._
+    val dim = Seq(("en", "english"), ("ja", "japanese")).toDF("lang", "lang_name")
+    val fact = spark.read.format("graft").load(store)
+    val joined = fact.join(broadcast(dim), Seq("lang"))
+    assert(joined.count() ==
+      original.where(col("lang").isin("en", "ja")).count())
+  }
+
+  test("scan reports metadata statistics so size-based planning works") {
+    val df = spark.read.format("graft").load(store)
+    val stats = df.queryExecution.optimizedPlan.stats
+    // without SupportsReportStatistics this is spark.sql.defaultSizeInBytes
+    // (Long.MaxValue) and the store could never be a broadcast side
+    assert(stats.sizeInBytes > 0 && stats.sizeInBytes < (10L << 20),
+      s"sizeInBytes=${stats.sizeInBytes}")
+
+    // a join with NO broadcast hint must pick a broadcast strategy because
+    // the store's reported size fits autoBroadcastJoinThreshold
+    val joined = original.join(
+      spark.read.format("graft").load(store).select("doc_id_s", "lang"), Seq("doc_id_s"))
+    assert(joined.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"),
+      joined.queryExecution.executedPlan.toString.take(900))
+    assert(joined.count() == 4000)
+  }
+
   test("Decoder.decodeStore routes through the shuffle-free DSv2 path") {
     val got = graft.engine.Decoder.decodeStore(spark, store,
       Seq("doc_id_s", "text", "lang", "source"))
