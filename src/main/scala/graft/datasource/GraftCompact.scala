@@ -55,6 +55,13 @@ object GraftCompact {
       .filter(_.getPath.getName.startsWith("partId="))
       .map(_.getPath.toString)
       .sorted
+    // a merged partition concatenates per-file sorted runs, so any store-
+    // level ordering claim dies — cleared BEFORE any rewrite starts, so a
+    // mid-compaction crash can never leave a false claim behind
+    if (partDirs.exists(p =>
+        fs.listStatus(new Path(p)).count(_.getPath.getName.endsWith(".parquet")) > 1))
+      graft.engine.StoreMeta.clearSortKeys(
+        spark.sparkContext.hadoopConfiguration, dir.toString)
     spark.sparkContext
       .parallelize(partDirs.toIndexedSeq, math.max(1, partDirs.length))
       .map(compactPartition)

@@ -516,7 +516,31 @@ object GraftAggReader {
 
 final case class GraftScan(path: String, required: StructType, preds: Seq[GraftPred])
     extends Scan with Batch with SupportsRuntimeFiltering
-    with SupportsReportStatistics {
+    with SupportsReportStatistics with SupportsReportOrdering {
+
+  /** Per-partition output ordering, reported ONLY when it provably holds:
+    * the store carries a sorted-by marker (written by the sorted one-shot
+    * writers, cleared by appends and compaction — see StoreMeta) AND every
+    * partition is a single file (interleaved append files break order).
+    * Only the marker prefix that survives column pruning is claimed.
+    * Pruning/filtering skip rows but never reorder them, so the claim
+    * holds for every pushed-predicate combination. Spark folds this into
+    * the physical plan and drops redundant SortExec nodes (merge-join
+    * local sorts, windows over the store's own keys).
+    */
+  override def outputOrdering(): Array[org.apache.spark.sql.connector.expressions.SortOrder] = {
+    val keys = graft.engine.StoreMeta.readSortKeys(
+      new Configuration(), GraftDataSource.blocksDir(path).toString)
+    if (keys.isEmpty) return Array.empty
+    val present = keys.takeWhile(required.fieldNames.contains)
+    if (present.isEmpty) return Array.empty
+    val multiFile = planInputPartitions().exists(
+      _.asInstanceOf[GraftInputPartition].files.length > 1)
+    if (multiFile) return Array.empty
+    present.map(k => org.apache.spark.sql.connector.expressions.Expressions.sort(
+      org.apache.spark.sql.connector.expressions.Expressions.identity(k),
+      org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING)).toArray
+  }
 
   /** Size/row statistics from block METADATA only (rowCount + rawBytes
     * columns of the block parquet files — no `data` page is read). Without

@@ -55,7 +55,8 @@ class GraftWriteBuilder(path: String, info: LogicalWriteInfo)
     override def requiredNumPartitions(): Int =
       Option(info.options.get("numPartitions")).map(_.toInt).getOrElse(0)
 
-    override def toBatch: BatchWrite = new GraftBatchWrite(path, schema, doTruncate, writeId)
+    override def toBatch: BatchWrite =
+      new GraftBatchWrite(path, schema, doTruncate, writeId, sortKeys)
 
     override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
       if (doTruncate)
@@ -112,6 +113,9 @@ final class GraftStreamingWrite(path: String, schema: StructType, queryId: Strin
     }
     val staging = new Path(path, s"blocks/_staging-q$qTag-e$epochId")
     if (fs.exists(staging)) fs.delete(staging, true)
+    // epoch files interleave sorted runs -> the store-level ordering claim
+    // (if any) no longer holds
+    graft.engine.StoreMeta.clearSortKeys(hadoopConf, blocks.toString)
   }
 
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
@@ -141,7 +145,7 @@ final case class GraftStreamingWriterFactory(
   * previous store intact.
   */
 class GraftBatchWrite(path: String, schema: StructType, truncate: Boolean,
-    writeId: String) extends BatchWrite {
+    writeId: String, sortKeys: Seq[String] = Nil) extends BatchWrite {
 
   private def hadoopConf =
     org.apache.spark.sql.SparkSession.active.sparkContext.hadoopConfiguration
@@ -171,6 +175,13 @@ class GraftBatchWrite(path: String, schema: StructType, truncate: Boolean,
       case _ =>
     }
     if (fs.exists(stagingDir)) fs.delete(stagingDir, true)
+    // Spark planned the exact sortKeys order (RequiresDistributionAndOrdering)
+    // and an overwrite leaves one file per partition -> record the full
+    // prefix; an append interleaves sorted files -> no ordering claim
+    if (truncate && sortKeys.nonEmpty)
+      graft.engine.StoreMeta.writeSortKeys(hadoopConf, blocks.toString, sortKeys)
+    else
+      graft.engine.StoreMeta.clearSortKeys(hadoopConf, blocks.toString)
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {

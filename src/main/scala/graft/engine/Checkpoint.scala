@@ -107,6 +107,12 @@ object Checkpoint {
         "encodedBytes", "fingerprint")
     commitManifest(spark, manifest, outDir)
 
+    // record the sorted-by prefix the encode actually guarantees: the
+    // within-partition order is (head, salt, rest), so with a non-empty
+    // skew plan only the head key's order survives across salt buckets
+    StoreMeta.writeSortKeys(spark.sparkContext.hadoopConfiguration,
+      blocksDir(outDir), if (skew.isEmpty) sortKeys else sortKeys.take(1))
+
     val summary = manifest
       .agg(sum("rowCount"), sum("rawBytes"), sum("encodedBytes"),
         countDistinct("partId"))

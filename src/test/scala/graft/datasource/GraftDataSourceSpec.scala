@@ -207,6 +207,54 @@ class GraftDataSourceSpec extends AnyFunSuite {
     assert(joined.count() == 4000)
   }
 
+  test("sorted store reports output ordering; Spark drops redundant sorts") {
+    def sortExecs(d: org.apache.spark.sql.DataFrame) =
+      d.queryExecution.executedPlan.collect {
+        case s: org.apache.spark.sql.execution.SortExec => s
+      }
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      // the shared Checkpoint store salts its skewed langs, so only the
+      // HEAD sort key's order survives — and only that may be claimed
+      val cp = spark.read.format("graft").load(store)
+      assert(sortExecs(cp.sortWithinPartitions("lang")).isEmpty,
+        "head-key sort should be dropped")
+      assert(sortExecs(cp.sortWithinPartitions("lang", "source")).nonEmpty,
+        "salted store must NOT claim the full key order")
+
+      // the DSv2 batch writer sorts by exactly its sortKeys → full claim
+      val dir = java.nio.file.Files.createTempDirectory("graft-ordering").toString
+      original.write.format("graft")
+        .option("sortKeys", "lang,source,doc_id_s")
+        .option("numPartitions", "4").mode("overwrite").save(dir)
+      val w = spark.read.format("graft").load(dir)
+      assert(sortExecs(w.sortWithinPartitions("lang", "source", "doc_id_s")).isEmpty)
+
+      // verify the DATA actually satisfies the claim, not just the plan
+      import spark.implicits._
+      val violations = w.select("lang", "source", "doc_id_s")
+        .as[(String, String, String)]
+        .mapPartitions { it =>
+          var prev: (String, String, String) = null
+          var bad = 0
+          it.foreach { t =>
+            if (prev != null && Ordering[(String, String, String)].gt(prev, t)) bad += 1
+            prev = t
+          }
+          Iterator.single(bad)
+        }.collect().sum
+      assert(violations == 0, s"$violations out-of-order rows")
+
+      // an append interleaves sorted files → claim cleared, sorts stay
+      original.limit(100).write.format("graft")
+        .option("sortKeys", "lang,source,doc_id_s")
+        .option("numPartitions", "4").mode("append").save(dir)
+      val appended = spark.read.format("graft").load(dir)
+      assert(sortExecs(appended.sortWithinPartitions("lang")).nonEmpty,
+        "appended store must not claim any ordering")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("Decoder.decodeStore routes through the shuffle-free DSv2 path") {
     val got = graft.engine.Decoder.decodeStore(spark, store,
       Seq("doc_id_s", "text", "lang", "source"))
