@@ -120,12 +120,57 @@ class GraftTable(path: String, tableSchema: StructType) extends Table
 
 class GraftScanBuilder(path: String, schema: StructType)
     extends ScanBuilder with SupportsPushDownFilters
-    with SupportsPushDownRequiredColumns with SupportsPushDownAggregates {
+    with SupportsPushDownRequiredColumns with SupportsPushDownAggregates
+    with SupportsPushDownLimit with SupportsPushDownTopN {
 
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = schema
   private var countStar = false
   private var aggSpecs: Seq[GraftAgg] = Nil
+  private var limit: Int = -1
+
+  /** LIMIT n: each partition reader stops after emitting n matching rows —
+    * on a huge store that means decoding one block group instead of the
+    * whole partition. Partial push: Spark keeps the global limit.
+    */
+  override def pushLimit(n: Int): Boolean = { limit = n; true }
+  override def isPartiallyPushed(): Boolean = true
+
+  /** ORDER BY <prefix of the store's recorded sort order> LIMIT n: rows
+    * already leave each partition in that order (see
+    * GraftScan.outputOrdering's conditions — marker present, single file
+    * per partition), so the first n rows per partition ARE its top-n.
+    * Partial push: Spark still merges the per-partition heads globally.
+    */
+  override def pushTopN(
+      orders: Array[org.apache.spark.sql.connector.expressions.SortOrder],
+      n: Int): Boolean = {
+    import org.apache.spark.sql.connector.expressions.{NamedReference, NullOrdering, SortDirection}
+    val keys = graft.engine.StoreMeta.readSortKeys(
+      new Configuration(), GraftDataSource.blocksDir(path).toString)
+    if (keys.isEmpty) return false
+    val asked: Seq[Option[String]] = orders.toSeq.map { o =>
+      o.expression() match {
+        case f: NamedReference if f.fieldNames().length == 1 &&
+            o.direction() == SortDirection.ASCENDING &&
+            o.nullOrdering() == NullOrdering.NULLS_FIRST =>
+          Some(f.fieldNames().head)
+        case _ => None
+      }
+    }
+    if (asked.exists(_.isEmpty)) return false
+    if (!asked.flatten.corresponds(keys.take(asked.length))(_ == _)) return false
+    // same single-file condition the ordering report requires
+    val dir = GraftDataSource.blocksDir(path)
+    val fs = dir.getFileSystem(new Configuration())
+    val multiFile = fs.listStatus(dir)
+      .filter(_.getPath.getName.startsWith("partId="))
+      .exists(st => fs.listStatus(st.getPath)
+        .count(_.getPath.getName.endsWith(".parquet")) > 1)
+    if (multiFile) return false
+    limit = n
+    true
+  }
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     def known(attr: String) = schema.fieldNames.contains(attr)
@@ -198,7 +243,7 @@ class GraftScanBuilder(path: String, schema: StructType)
         case In(a, vs) => GraftPred("in", a, null, vs.toSeq.map(_.asInstanceOf[String]))
         case IsNotNull(a) => GraftPred("notnull", a, null)
       }
-      GraftScan(path, required, preds)
+      GraftScan(path, required, preds, limit)
     }
   }
 }
@@ -514,7 +559,8 @@ object GraftAggReader {
   }
 }
 
-final case class GraftScan(path: String, required: StructType, preds: Seq[GraftPred])
+final case class GraftScan(path: String, required: StructType, preds: Seq[GraftPred],
+    limit: Int = -1)
     extends Scan with Batch with SupportsRuntimeFiltering
     with SupportsReportStatistics with SupportsReportOrdering {
 
@@ -688,7 +734,8 @@ final case class GraftScan(path: String, required: StructType, preds: Seq[GraftP
       case GraftPred(k, c, v, _) => s"$c $k $v"
     }
     s"GraftScan path=$path, ReadSchema: ${required.catalogString}, " +
-      s"PushedFilters: [${shown.mkString(", ")}]"
+      s"PushedFilters: [${shown.mkString(", ")}]" +
+      (if (limit >= 0) s", PushedLimit: $limit" else "")
   }
 
   override def planInputPartitions(): Array[InputPartition] = {
@@ -717,7 +764,7 @@ final case class GraftScan(path: String, required: StructType, preds: Seq[GraftP
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    GraftReaderFactory(required.fieldNames, allPreds)
+    GraftReaderFactory(required.fieldNames, allPreds, limit)
 
   override def toMicroBatchStream(
       checkpointLocation: String): org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
@@ -849,11 +896,12 @@ private[datasource] object GraftBlockRow {
 }
 
 
-final case class GraftReaderFactory(requiredCols: Array[String], preds: Seq[GraftPred])
+final case class GraftReaderFactory(requiredCols: Array[String], preds: Seq[GraftPred],
+    limit: Int = -1)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new GraftRowReader(
-      partition.asInstanceOf[GraftInputPartition], requiredCols, preds)
+      partition.asInstanceOf[GraftInputPartition], requiredCols, preds, limit)
 
   // Vectorized path: each surviving block group becomes ONE ColumnarBatch
   // (block size == batch size), so downstream whole-stage codegen consumes
@@ -862,7 +910,7 @@ final case class GraftReaderFactory(requiredCols: Array[String], preds: Seq[Graf
   override def createColumnarReader(
       partition: InputPartition): PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
     new GraftColumnarReader(
-      partition.asInstanceOf[GraftInputPartition], requiredCols, preds)
+      partition.asInstanceOf[GraftInputPartition], requiredCols, preds, limit)
 }
 
 /** Shared scan cursor: reads one encoder partition as a STREAM of block
@@ -1023,18 +1071,23 @@ private[datasource] final class GraftGroupCursor(
     if (reader != null) { reader.close(); reader = null }
 }
 
-/** row-based reader over the shared cursor */
+/** row-based reader over the shared cursor; a pushed limit short-circuits
+  * the whole cursor — later block groups are never read, let alone decoded
+  */
 final class GraftRowReader(
     partition: GraftInputPartition,
     requiredCols: Array[String],
-    preds: Seq[GraftPred])
+    preds: Seq[GraftPred],
+    limit: Int = -1)
     extends PartitionReader[InternalRow] {
 
   private val cursor = new GraftGroupCursor(partition, requiredCols, preds)
   private var rows: Iterator[InternalRow] = Iterator.empty
   private var current: InternalRow = _
+  private var emitted = 0L
 
   override def next(): Boolean = {
+    if (limit >= 0 && emitted >= limit) return false
     while (!rows.hasNext) {
       val g = cursor.nextSurviving()
       if (g == null) return false
@@ -1047,6 +1100,7 @@ final class GraftRowReader(
       }
     }
     current = rows.next()
+    emitted += 1
     true
   }
 
@@ -1058,7 +1112,8 @@ final class GraftRowReader(
 final class GraftColumnarReader(
     partition: GraftInputPartition,
     requiredCols: Array[String],
-    preds: Seq[GraftPred])
+    preds: Seq[GraftPred],
+    limit: Int = -1)
     extends PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
 
   import org.apache.spark.sql.execution.vectorized.OnHeapColumnVector
@@ -1066,12 +1121,20 @@ final class GraftColumnarReader(
 
   private val cursor = new GraftGroupCursor(partition, requiredCols, preds)
   private var batch: ColumnarBatch = null
+  private var emitted = 0L
 
   override def next(): Boolean = {
     if (batch != null) { batch.close(); batch = null }
+    if (limit >= 0 && emitted >= limit) return false
     val g = cursor.nextSurviving()
     if (g == null) return false
-    val (matching, outCols) = g
+    val (allMatching, outCols) = g
+    // pushed limit: trim the final batch to the remaining budget
+    val matching =
+      if (limit >= 0 && emitted + allMatching.length > limit)
+        allMatching.take((limit - emitted).toInt)
+      else allMatching
+    emitted += matching.length
     val n = matching.length
     val vectors = new Array[ColumnVector](requiredCols.length)
     var j = 0

@@ -255,6 +255,61 @@ class GraftDataSourceSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("limit pushdown stops each partition reader early") {
+    val limited = spark.read.format("graft").load(store).limit(7)
+    assert(limited.collect().length == 7)
+    assert(limited.queryExecution.executedPlan.toString.contains("PushedLimit: 7"),
+      limited.queryExecution.executedPlan.toString.take(900))
+
+    // reader-level contract: at most `limit` rows leave a partition
+    val factory = GraftReaderFactory(
+      Array("doc_id_s", "lang"), Nil, limit = 5)
+    val part = GraftScan(store, spark.read.format("graft").load(store).schema, Nil)
+      .planInputPartitions().head
+    val r = factory.createReader(part)
+    var n = 0
+    while (r.next()) n += 1
+    r.close()
+    assert(n == 5, s"row reader emitted $n")
+    val cr = factory.createColumnarReader(part)
+    var cn = 0
+    while (cr.next()) cn += cr.get().numRows()
+    cr.close()
+    assert(cn == 5, s"columnar reader emitted $cn")
+  }
+
+  test("top-n pushes down only when the store's recorded order matches") {
+    import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection}
+    def asc(c: String) = Expressions.sort(Expressions.column(c), SortDirection.ASCENDING)
+    def desc(c: String) = Expressions.sort(Expressions.column(c), SortDirection.DESCENDING)
+
+    // sorted single-file store written by the DSv2 writer → full key claim
+    val dir = java.nio.file.Files.createTempDirectory("graft-topn").toString
+    original.write.format("graft")
+      .option("sortKeys", "lang,source,doc_id_s")
+      .option("numPartitions", "4").mode("overwrite").save(dir)
+    val schema = spark.read.format("graft").load(dir).schema
+
+    def builderPush(path: String, orders: Array[org.apache.spark.sql.connector.expressions.SortOrder]): Boolean =
+      new GraftScanBuilder(path, schema).pushTopN(orders, 5)
+
+    assert(builderPush(dir, Array(asc("lang"))))
+    assert(builderPush(dir, Array(asc("lang"), asc("source"))))
+    assert(!builderPush(dir, Array(asc("source"))), "non-prefix order must not push")
+    assert(!builderPush(dir, Array(desc("lang"))), "descending must not push")
+    // the salted Checkpoint store claims only its head key
+    assert(builderPush(store, Array(asc("lang"))))
+    assert(!builderPush(store, Array(asc("lang"), asc("source"))))
+
+    // end-to-end: ordered limit answers match the original table
+    val got = spark.read.format("graft").load(dir)
+      .orderBy("lang", "source", "doc_id_s").limit(5)
+      .select("doc_id_s", "lang").collect().map(_.toString)
+    val want = original.orderBy("lang", "source", "doc_id_s").limit(5)
+      .select("doc_id_s", "lang").collect().map(_.toString)
+    assert(got.toSeq == want.toSeq)
+  }
+
   test("Decoder.decodeStore routes through the shuffle-free DSv2 path") {
     val got = graft.engine.Decoder.decodeStore(spark, store,
       Seq("doc_id_s", "text", "lang", "source"))
