@@ -29,6 +29,7 @@ object SparkEntry {
     "q_dsv2_agg" -> (CoreQueries.dsv2Agg _),
     "q_key_lookup" -> (CoreQueries.keyLookup _),
     "q_compact_roundtrip" -> (CoreQueries.compactRoundtrip _),
+    "q_topn" -> (CoreQueries.topN _),
     "q_codec_selection" -> (CoreQueries.codecSelection _),
     "q_encode_metrics" -> (CoreQueries.encodeMetrics _),
     // relational coverage: agg / broadcast join / window / time window
@@ -103,6 +104,10 @@ object SparkEntry {
     "q_compact_roundtrip" ->
       """SELECT lang, count(*) AS cnt, CAST(sum(len(text)) AS BIGINT) AS total_text_len
         |FROM documents GROUP BY lang""".stripMargin,
+    "q_topn" ->
+      """SELECT CAST(doc_id AS VARCHAR) AS doc_id_s, lang, source, sha256(text) AS h
+        |FROM documents
+        |ORDER BY lang, source, CAST(doc_id AS VARCHAR) LIMIT 50""".stripMargin,
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(round(sum(l_quantity)*100) AS BIGINT) AS sum_qty_c,

@@ -610,7 +610,7 @@ final case class GraftScan(path: String, required: StructType, preds: Seq[GraftP
       override def sizeInBytes(): java.util.OptionalLong =
         java.util.OptionalLong.of(math.max(size, 1L))
       override def numRows(): java.util.OptionalLong =
-        java.util.OptionalLong.of(r)
+        if (r < 0) java.util.OptionalLong.empty() else java.util.OptionalLong.of(r)
     }
   }
 
@@ -658,6 +658,25 @@ final case class GraftScan(path: String, required: StructType, preds: Seq[GraftP
   }
 
   private def statsFromBlockMetadata(wanted: Set[String]): (Long, Long, Long) = {
+    val parts = planInputPartitions()
+    val nFiles = parts.iterator
+      .map(_.asInstanceOf[GraftInputPartition].files.length).sum
+    if (nFiles > GraftScan.StatsFileCap) {
+      // manifest-less AND heavily fragmented (streaming epochs before a
+      // compaction): opening every file's footer on the driver would make
+      // planning O(store). Fall back to file LENGTHS from the listing we
+      // already have — compressed size under-estimates decoded size, which
+      // at this fragmentation (>> broadcast threshold) errs on the side of
+      // NOT broadcasting; rows stay unknown.
+      val conf = new Configuration()
+      val bytes = parts.iterator
+        .flatMap(_.asInstanceOf[GraftInputPartition].files.iterator)
+        .map { f =>
+          val p = new Path(f)
+          p.getFileSystem(conf).getFileStatus(p).getLen
+        }.sum
+      return (-1L, bytes, bytes)
+    }
     val conf = new Configuration()
     conf.set(org.apache.parquet.hadoop.api.ReadSupport.PARQUET_READ_SCHEMA,
       """message g {
@@ -738,7 +757,10 @@ final case class GraftScan(path: String, required: StructType, preds: Seq[GraftP
       (if (limit >= 0) s", PushedLimit: $limit" else "")
   }
 
-  override def planInputPartitions(): Array[InputPartition] = {
+  // one directory sweep per scan instance: planning consults the listing
+  // several times (input partitions, ordering report, statistics) and at
+  // scale each listStatus round-trip on an object store costs real time
+  @transient private lazy val cachedPartitions: Array[InputPartition] = {
     val dir = GraftDataSource.blocksDir(path)
     val fs = dir.getFileSystem(
       org.apache.spark.sql.SparkSession.active.sparkContext.hadoopConfiguration)
@@ -762,6 +784,8 @@ final case class GraftScan(path: String, required: StructType, preds: Seq[GraftP
       }
       .toArray
   }
+
+  override def planInputPartitions(): Array[InputPartition] = cachedPartitions
 
   override def createReaderFactory(): PartitionReaderFactory =
     GraftReaderFactory(required.fieldNames, allPreds, limit)
@@ -868,6 +892,11 @@ object GraftStreamOffset {
 object GraftScan {
   /** largest runtime In-set worth probing per block */
   val RuntimeInCap = 10000
+
+  /** above this many files, statistics come from file lengths only —
+    * opening every footer on the driver would make planning O(store)
+    */
+  val StatsFileCap = 64
 }
 
 final case class GraftInputPartition(partId: Int, files: Array[String])
@@ -1012,6 +1041,9 @@ private[datasource] final class GraftGroupCursor(
 
   private val eqBytes: Map[String, Array[Byte]] =
     eq.map { case (k, v) => k -> v.getBytes("UTF-8") }
+  // lazily built hashed In-sets for the row-level pass (one per column)
+  private val inSets =
+    scala.collection.mutable.HashMap.empty[String, java.util.HashSet[java.nio.ByteBuffer]]
 
   /** Decoded values of the required columns for the next surviving block
     * group: (matching row ids, per-required-col value arrays — a null slot
@@ -1028,12 +1060,14 @@ private[datasource] final class GraftGroupCursor(
         cols.get(p.col).exists(b =>
           !GraftPruning.blockMayMatch(p, b.minPrefix, b.maxPrefix))
       }
-      // 1b. equality/in-list pruning (cheap: dict binary-search / FoR range
-      //     meta); a column absent from the partition is all-null → prune
+      // 1b. equality/in-list pruning (cheap: membership filter probe, then
+      //     dict binary-search / FoR range meta — batched, so a large
+      //     In-set parses the block header and dictionary ONCE); a column
+      //     absent from the partition is all-null → prune
       val pruned = metaPruned || eqBytes.exists { case (k, v) =>
         cols.get(k).forall(b => !BlockCodec.mayContain(b, v))
       } || inPreds.exists { case (k, vs) =>
-        cols.get(k).forall(b => !vs.exists(BlockCodec.mayContain(b, _)))
+        cols.get(k).forall(b => !BlockCodec.mayContainAny(b, vs.toArray))
       }
       if (!pruned) {
         // 2. decode filter columns first, intersect matching row ids
@@ -1052,8 +1086,15 @@ private[datasource] final class GraftGroupCursor(
         if (inPreds.nonEmpty && inPreds.forall(p => cols.contains(p._1))) {
           inPreds.foreach { case (k, vs) =>
             val kv = col(k)
+            // hashed membership: a runtime join-key set can hold thousands
+            // of values — a linear exists() per row would be O(rows x set)
+            val set = inSets.getOrElseUpdate(k, {
+              val s = new java.util.HashSet[java.nio.ByteBuffer](vs.length * 2)
+              vs.foreach(v => s.add(java.nio.ByteBuffer.wrap(v)))
+              s
+            })
             matching = matching.filter(i => kv(i) != null &&
-              vs.exists(java.util.Arrays.equals(kv(i), _)))
+              set.contains(java.nio.ByteBuffer.wrap(kv(i))))
           }
         }
         if (matching.nonEmpty) {

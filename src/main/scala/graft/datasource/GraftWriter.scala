@@ -95,6 +95,11 @@ final class GraftStreamingWrite(path: String, schema: StructType, queryId: Strin
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
     val blocks = new Path(path, "blocks")
     val fs = blocks.getFileSystem(hadoopConf)
+    // retract ordering claim + stale Checkpoint manifest BEFORE publishing
+    // (epoch files interleave sorted runs; counts change under the manifest)
+    graft.engine.StoreMeta.clearSortKeys(hadoopConf, blocks.toString)
+    val manifest = new Path(path, "manifest")
+    if (fs.exists(manifest)) fs.delete(manifest, true)
     messages.foreach {
       case GraftCommit(pid, rows, file) if rows > 0 && file != null =>
         val dest = new Path(new Path(blocks, s"partId=$pid"),
@@ -113,9 +118,6 @@ final class GraftStreamingWrite(path: String, schema: StructType, queryId: Strin
     }
     val staging = new Path(path, s"blocks/_staging-q$qTag-e$epochId")
     if (fs.exists(staging)) fs.delete(staging, true)
-    // epoch files interleave sorted runs -> the store-level ordering claim
-    // (if any) no longer holds
-    graft.engine.StoreMeta.clearSortKeys(hadoopConf, blocks.toString)
   }
 
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
@@ -158,6 +160,15 @@ class GraftBatchWrite(path: String, schema: StructType, truncate: Boolean,
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val blocks = new Path(path, "blocks")
     val fs = blocks.getFileSystem(hadoopConf)
+    // a DSv2 write makes any Checkpoint manifest stale (it describes blocks
+    // this write replaces or extends) — drop it so stats/resume never trust
+    // counts for data that changed underneath them
+    val manifest = new Path(path, "manifest")
+    if (fs.exists(manifest)) fs.delete(manifest, true)
+    // append mode interleaves sorted files: retract the ordering claim
+    // BEFORE any file lands, so no crash window can leave a false claim
+    // (overwrite re-asserts it after a successful publish below)
+    graft.engine.StoreMeta.clearSortKeys(hadoopConf, blocks.toString)
     if (truncate && fs.exists(blocks)) {
       // deferred truncate: old partitions die only once every new task has
       // successfully committed (staging dir is spared — it holds the data)
@@ -177,11 +188,9 @@ class GraftBatchWrite(path: String, schema: StructType, truncate: Boolean,
     if (fs.exists(stagingDir)) fs.delete(stagingDir, true)
     // Spark planned the exact sortKeys order (RequiresDistributionAndOrdering)
     // and an overwrite leaves one file per partition -> record the full
-    // prefix; an append interleaves sorted files -> no ordering claim
+    // prefix (appends already retracted the claim up front)
     if (truncate && sortKeys.nonEmpty)
       graft.engine.StoreMeta.writeSortKeys(hadoopConf, blocks.toString, sortKeys)
-    else
-      graft.engine.StoreMeta.clearSortKeys(hadoopConf, blocks.toString)
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {

@@ -162,11 +162,25 @@ object BlockCodec {
     * decodes). This is the block-skipping analog of Parquet
     * dictionary/stats/bloom pruning.
     */
-  def mayContain(b: EncodedBlock, value: Array[Byte]): Boolean = {
+  def mayContain(b: EncodedBlock, value: Array[Byte]): Boolean =
+    mayContainAny(b, Array(value))
+
+  /** Batched may-contain: the filter header is parsed and (for dict/FoR)
+    * the container decompressed ONCE for the whole probe set — an In-list
+    * or runtime join-key set of thousands of values must not re-decompress
+    * per value. True iff ANY value may be present.
+    */
+  def mayContainAny(b: EncodedBlock, values: Array[Array[Byte]]): Boolean = {
     val hdr = new ByteReader(b.data)
     val flen = hdr.readVarInt()
-    if (flen > 0 && !BlockFilter.mayContain(b.data, hdr.position, flen, value))
-      return false
+    if (flen < 0 || flen > hdr.remaining)
+      throw new IllegalStateException(
+        s"bad membership-filter header (len=$flen of ${b.data.length} bytes) — " +
+          "block not written by this graft version?")
+    val survivors: Array[Array[Byte]] =
+      if (flen == 0) values
+      else values.filter(BlockFilter.mayContain(b.data, hdr.position, flen, _))
+    if (survivors.isEmpty) return false
     if (filterEligible(b.codecId)) return true // filter (or nothing) decided
     val container = Wrap.decompress(b.wrapId, b.data, hdr.position + flen)
     val r = new ByteReader(container)
@@ -176,32 +190,38 @@ object BlockCodec {
     b.codecId match {
       // DictRle shares the Dict meta layout byte-for-byte
       case graft.model.CodecId.Dict | graft.model.CodecId.DictRle =>
+        // decode the sorted dictionary once, then binary-search each probe
         val m = new ByteReader(meta)
         val n = m.readVarInt()
-        // sorted dictionary → early exit once past the probe
+        val dict = new Array[Array[Byte]](n)
         var i = 0
-        while (i < n) {
-          val e = m.readBytes(m.readVarInt())
-          val cmp = java.util.Arrays.compareUnsigned(e, value)
-          if (cmp == 0) return true
-          if (cmp > 0) return false
-          i += 1
+        while (i < n) { dict(i) = m.readBytes(m.readVarInt()); i += 1 }
+        survivors.exists { v =>
+          var lo = 0
+          var hi = n - 1
+          var found = false
+          while (lo <= hi && !found) {
+            val mid = (lo + hi) >>> 1
+            val cmp = java.util.Arrays.compareUnsigned(dict(mid), v)
+            if (cmp == 0) found = true
+            else if (cmp < 0) lo = mid + 1
+            else hi = mid - 1
+          }
+          found
         }
-        false
       case _ => // ForLong
-        graft.codec.ForLongCodec.canonicalLong(value) match {
+        val m = new ByteReader(meta)
+        val min = m.readZigZag()
+        val w = m.readByte()
+        // saturating upper bound: min + (2^w - 1) can wrap when min > 0
+        // and w is large (e.g. block {1, Long.MaxValue} → w = 63)
+        val span = if (w == 0) 0L else (1L << w) - 1L
+        val max = if (w >= 64 || min > Long.MaxValue - span) Long.MaxValue
+                  else min + span
+        survivors.exists(v => graft.codec.ForLongCodec.canonicalLong(v) match {
           case None => false
-          case Some(v) =>
-            val m = new ByteReader(meta)
-            val min = m.readZigZag()
-            val w = m.readByte()
-            // saturating upper bound: min + (2^w - 1) can wrap when min > 0
-            // and w is large (e.g. block {1, Long.MaxValue} → w = 63)
-            val span = if (w == 0) 0L else (1L << w) - 1L
-            val max = if (w >= 64 || min > Long.MaxValue - span) Long.MaxValue
-                      else min + span
-            v >= min && v <= max
-        }
+          case Some(x) => x >= min && x <= max
+        })
     }
   }
 
@@ -209,6 +229,10 @@ object BlockCodec {
   def decodeBlock(b: EncodedBlock): Array[Array[Byte]] = {
     val hdr = new ByteReader(b.data)
     val flen = hdr.readVarInt()
+    if (flen < 0 || flen > hdr.remaining)
+      throw new IllegalStateException(
+        s"bad membership-filter header (len=$flen of ${b.data.length} bytes) — " +
+          "block not written by this graft version?")
     val container = Wrap.decompress(b.wrapId, b.data, hdr.position + flen)
     val r = new ByteReader(container)
     val flags = r.readByte()

@@ -154,6 +154,26 @@ object CoreQueries {
       count(lit(1)).as("n"))
   }
 
+  /** ordered head through the DSv2 top-N pushdown: the store is written by
+    * the sorted one-shot writer (full sort-order claim, single file per
+    * partition), so ORDER BY its sort keys + LIMIT reads just the head of
+    * each already-sorted partition — no per-partition sort, no full decode.
+    * The key (lang, source, doc_id_s) is unique per row, so the result set
+    * is deterministic and the oracle can replay it exactly. NOTE: doc_id_s
+    * orders as a STRING ("10" < "2") on both sides.
+    */
+  def topN(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-q-topn").toString
+    docsAsStrings(spark, sfDir).write.format("graft")
+      .option("sortKeys", "lang,source,doc_id_s")
+      .option("numPartitions", "4").mode("overwrite").save(dir)
+    spark.read.format("graft").load(dir)
+      .orderBy(col("lang"), col("source"), col("doc_id_s"))
+      .limit(50)
+      .select(col("doc_id_s"), col("lang"), col("source"),
+        sha2(col("text"), 256).as("h"))
+  }
+
   /** compaction round-trip: write documents through the DSv2 writer in two
     * appends (fragmenting every partition directory), compact to one file
     * per partition, read back through the DSv2 reader. The oracle
