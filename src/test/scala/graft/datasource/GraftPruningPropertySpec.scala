@@ -121,6 +121,34 @@ class GraftPruningPropertySpec extends AnyFunSuite {
     assert(rejected > 300, s"only $rejected/400 absent probes rejected")
   }
 
+  test("mayContainAny agrees with per-value probes on every codec") {
+    import graft.codec.{ForLongCodec, HexPackCodec}
+    val rng2 = new java.util.SplittableRandom(0xacc0)
+    for (trial <- 1 to 300) {
+      val n = 2 + rng2.nextInt(80)
+      val (values, codec) = rng2.nextInt(4) match {
+        case 0 => // low-ndv strings -> dict
+          val pool = Array.fill(3)(randString())
+          (Array.fill(n)(pool(rng2.nextInt(3))), DictCodec)
+        case 1 => // canonical longs -> FoR
+          (Array.fill(n)((100 + rng2.nextInt(1000)).toString), ForLongCodec)
+        case 2 => // uniform hex -> hexpack (filter-eligible)
+          (Array.fill(n)(f"${rng2.nextLong() & 0xffffffffL}%08x"), HexPackCodec)
+        case _ => (Array.fill(n)(randString() + rng2.nextInt(500)), PlainCodec)
+      }
+      val block = BlockCodec.encodeBlock("c", 0, 0,
+        values.map(_.getBytes("UTF-8")), codec)
+      val probes: Array[Array[Byte]] = Array.fill(1 + rng2.nextInt(6)) {
+        (if (rng2.nextBoolean()) values(rng2.nextInt(n))
+         else randString() + "-x" + rng2.nextInt(100)).getBytes("UTF-8")
+      }
+      val batched = BlockCodec.mayContainAny(block, probes)
+      val perValue = probes.exists(BlockCodec.mayContain(block, _))
+      assert(batched == perValue,
+        s"trial $trial codec=${codec.id}: batched=$batched perValue=$perValue")
+    }
+  }
+
   test("dict mayContain: a rejecting block never holds the probed value") {
     var rejected = 0
     for (_ <- 1 to 1500) {
