@@ -1,7 +1,9 @@
 package graft
 
-import graft.engine.Encoder
+import graft.engine.{BlockCodec, Encoder}
 import graft.gen.DataGen
+import graft.plan.CodecSelector
+import graft.stats.BlockStats
 import graft.verify.SizeBar
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
@@ -41,6 +43,41 @@ object Bench {
     val t0 = System.nanoTime()
     val a = f
     (a, (System.nanoTime() - t0) / 1e9)
+  }
+
+  /** Pure-JVM decode probe (no Spark): encode 64 fixed blocks once, then
+    * time decodeBlock over all of them on `threads` threads, min of 3 reps.
+    * This is a same-session host-speed yardstick — the ~8x cross-window
+    * spread in driver decode numbers is hypervisor steal, and dividing the
+    * Spark decode throughput by this probe yields a host-independent ratio
+    * that two runs in different windows can agree on.
+    */
+  private def decodeProbeGbps(threads: Int): Double = {
+    val rowsPerBlock = 8000
+    val nBlocks = 64
+    val cfg = DataGen.GenConfig(rows = rowsPerBlock.toLong * nBlocks)
+    val rows = (0L until cfg.rows).toArray.map(i => DataGen.row(i, cfg))
+    val blocks: Array[Array[Array[Byte]]] = rows.grouped(rowsPerBlock)
+      .map(_.map(_.content.getBytes("UTF-8"))).toArray
+    val raw = blocks.map(_.map(_.length.toLong).sum).sum
+    val encoded = blocks.zipWithIndex.map { case (b, i) =>
+      val codec = CodecSelector.select(BlockStats.compute("content", 0, b))
+      BlockCodec.encodeBlock("content", 0, i, b, codec)
+    }
+    val secs = (1 to 3).map { _ =>
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(threads)
+      val t0 = System.nanoTime()
+      val fs = encoded.map { e =>
+        pool.submit(new java.util.concurrent.Callable[Long] {
+          def call(): Long = BlockCodec.decodeBlock(e).length.toLong
+        })
+      }
+      fs.foreach(_.get())
+      val s = (System.nanoTime() - t0) / 1e9
+      pool.shutdown()
+      s
+    }
+    raw / secs.min / 1e9
   }
 
   /** one timed encode pass: returns (rawBytes, encodedBytes, seconds).
@@ -89,13 +126,27 @@ object Bench {
     val avroDeflate = SizeBar.avroDeflateBytes(input)
 
     // ---- per-query timings on the driver tables ----
-    val queryTimes = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // min-of-2 INTERLEAVED reps (rep 1 of every query, then rep 2): a slow
+    // steal window hits one whole rep, and the per-query min recovers the
+    // clean one — round 3's single-rep numbers manufactured seven phantom
+    // 5-23x regressions that did not reproduce under controlled re-runs.
+    // clearCache() between queries stops the cache()/persist()-holding
+    // queries from cross-contaminating their neighbors' timings.
+    val qFns = SparkEntry.queries.toSeq.sortBy(_._1)
+    val qReps = scala.collection.mutable.Map.empty[String, List[Double]]
+    for (rep <- 1 to 2; (name, fn) <- qFns) {
+      spark.catalog.clearCache()
       val (_, sec) = time {
         try fn(spark, sfDir).count()
         catch { case _: Throwable => -1L }
       }
-      name -> sec
+      qReps(name) = sec :: qReps.getOrElse(name, Nil)
     }
+    val queryTimes = qFns.map { case (name, _) => name -> qReps(name).min }
+    val querySpread = qFns.map { case (name, _) =>
+      name -> (qReps(name).min, qReps(name).max)
+    }
+    spark.catalog.clearCache()
     // the salting plan is input metadata — computed once, reused by every
     // timed run (its sample job would otherwise add a serial-ish constant
     // to every measurement)
@@ -119,12 +170,17 @@ object Bench {
       time(graft.engine.Decoder.decode(cachedBlocks, benchCols).count())._2
     }.min
     cachedBlocks.unpersist()
+    // same-session pure-JVM probe: min-of-4 in one session cannot save a
+    // decode number when the WHOLE session sits in a slow window (0.43-3.34
+    // GB/s across same-code runs); decode_normalized = spark-decode / probe
+    // is the cross-window-stable figure
+    val probeGbps = decodeProbeGbps(hi)
     spark.stop()
 
     // ---- interleaved multi-level throughput runs, min per level ----
     // per-session small untimed warmup absorbs session-cold costs (executor
     // init, codegen, file-index listing) that are not part of throughput
-    val best = scala.collection.mutable.Map.empty[Int, Double]
+    val reps = scala.collection.mutable.Map.empty[Int, List[Double]]
     for (rep <- 1 to maxReps; level <- levels if repsFor(level) >= rep) {
       spark = session(level)
       val warm = spark.read.parquet(inputPath).limit(5000)
@@ -134,41 +190,62 @@ object Bench {
         .agg(sum(col("encodedBytes"))).first()
       val (_, _, sec) = encodeRun(spark, inputPath, nParts, skew)
       spark.stop()
-      best(level) = math.min(best.getOrElse(level, Double.MaxValue), sec)
+      reps(level) = sec :: reps.getOrElse(level, Nil)
     }
+    val best = levels.map(l => l -> reps(l).min).toMap
     val th = levels.map(l => l -> rawBytes / best(l) / 1e9).toMap
     def eff(a: Int, b: Int): Double = th(b) / ((b.toDouble / a) * th(a))
     val effPairs = levels.filter(a => levels.contains(4 * a))
       .map(a => (a, 4 * a, eff(a, 4 * a)))
+    // efficiency > 1.0 is physically impossible for the same job at more
+    // cores — it means the denominator leg's best rep still sat in a slower
+    // window than the numerator's. Flag those pairs and clamp the headline
+    // so the >=0.8 bar can't be "met" (or sunk) by noise.
+    val suspectPairs = effPairs.filter(_._3 > 1.0).map { case (a, b, _) => s"$a->$b" }
 
     val qs = queryTimes.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
+    val qSpreadJson = querySpread.map { case (k, (mn, mx)) =>
+      s""""$k":{"min":$mn,"max":$mx}"""
+    }.mkString("{", ",", "}")
     val thJson = levels.map(l => s""""local[$l]":${th(l)}""").mkString("{", ",", "}")
     val secJson = levels.map(l => s""""local[$l]":${best(l)}""").mkString("{", ",", "}")
+    val secSpreadJson = levels.map(l =>
+      s""""local[$l]":{"min":${reps(l).min},"max":${reps(l).max}}""")
+      .mkString("{", ",", "}")
     val effJson = effPairs.map { case (a, b, e) => s""""${a}->${b}":$e""" }.mkString("{", ",", "}")
     // maxOption: when SPARK_GRAFT_CPUS < 4 there is no N→4N pair at all —
     // still print the contract JSON line rather than crash
-    val headlineEff = effPairs.map(_._3).maxOption.getOrElse(0.0)
+    val headlineEffRaw = effPairs.map(_._3).maxOption.getOrElse(0.0)
+    val headlineEff = math.min(1.0, headlineEffRaw)
+    val decodeGbps = rawBytes / decodeSec / 1e9
     val json =
       s"""{"metric":"encode_throughput_gbps","value":${th(hi)},"unit":"GB/s",""" +
         s""""queries":$qs,"sf":"$sfDir",""" +
+        s""""query_spread":$qSpreadJson,""" +
         s""""bench_rows":$benchRows,"raw_bytes":$rawBytes,"encoded_bytes":$encBytes,""" +
         s""""compression_ratio":${rawBytes.toDouble / math.max(1, encBytes)},""" +
         s""""parquet_snappy_bytes":$parquetSnappy,"avro_deflate_bytes":$avroDeflate,""" +
         s""""beats_parquet_snappy":${encBytes <= parquetSnappy},""" +
         s""""beats_avro_deflate":${encBytes <= avroDeflate},""" +
         s""""throughput_gbps":$thJson,"seconds":$secJson,""" +
-        s""""decode_gbps":${rawBytes / decodeSec / 1e9},""" +
+        s""""seconds_spread":$secSpreadJson,""" +
+        s""""decode_gbps":$decodeGbps,""" +
+        s""""decode_probe_gbps":$probeGbps,""" +
+        s""""decode_normalized":${decodeGbps / probeGbps},""" +
         s""""scaling_efficiency_pairs":$effJson,""" +
+        s""""window_suspect_pairs":${suspectPairs.map(p => s""""$p"""").mkString("[", ",", "]")},""" +
+        s""""scaling_efficiency_raw":$headlineEffRaw,""" +
         s""""scaling_efficiency":$headlineEff}"""
     println(json)
 
     // evidence file for BASELINE.md's two-cluster-size criterion
     // extra leading '|' = stripMargin margin (runs after interpolation)
     val effLines = effPairs.map { case (a, b, e) =>
-      f"|| scaling efficiency local[$a]→local[$b] (cores ×${b / a}) | $e%.3f |"
+      val flag = if (e > 1.0) " — WINDOW SUSPECT (>1.0 is physically impossible; the small-core leg hit a slower steal window)" else ""
+      f"|| scaling efficiency local[$a]→local[$b] (cores ×${b / a}) | $e%.3f$flag |"
     }.mkString("\n")
     val thLines = levels.map(l =>
-      f"|| throughput local[$l] | ${th(l)}%.3f GB/s (${best(l)}%.2f s, min of ${repsFor(l)} interleaved) |")
+      f"|| throughput local[$l] | ${th(l)}%.3f GB/s (${best(l)}%.2f s, min of ${repsFor(l)} interleaved, rep spread ${reps(l).min}%.2f–${reps(l).max}%.2f s) |")
       .mkString("\n")
     val md =
       s"""# BENCH — encode throughput & scaling (generated by graft.Bench)
@@ -182,7 +259,10 @@ object Bench {
          || encoded bytes | $encBytes (${f"${rawBytes.toDouble / math.max(1, encBytes)}%.2f"}x) |
          || parquet-snappy bar | $parquetSnappy (beat: ${encBytes <= parquetSnappy}) |
          || avro-deflate bar | $avroDeflate (beat: ${encBytes <= avroDeflate}) |
-         || decode throughput local[$hi] | ${f"${rawBytes / decodeSec / 1e9}%.3f"} GB/s |
+         || decode throughput local[$hi] | ${f"$decodeGbps%.3f"} GB/s (min of 4 in-session) |
+         || decode probe (pure-JVM, $hi threads) | ${f"$probeGbps%.3f"} GB/s — same-session host yardstick |
+         || decode normalized (spark/probe) | ${f"${decodeGbps / probeGbps}%.3f"} — cross-window-stable figure |
+         || headline scaling efficiency | ${f"$headlineEff%.3f"} (raw ${f"$headlineEffRaw%.3f"}; pairs >1.0 flagged window-suspect) |
          $thLines
          $effLines
          |""".stripMargin
