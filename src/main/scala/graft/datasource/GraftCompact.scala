@@ -50,6 +50,8 @@ object GraftCompact {
     */
   def compactStore(spark: SparkSession, storePath: String): Seq[PartReport] = {
     val dir = GraftDataSource.blocksDir(storePath)
+    graft.engine.StoreMeta.checkFormat(
+      spark.sparkContext.hadoopConfiguration, dir.toString)
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val partDirs = fs.listStatus(dir)
       .filter(_.getPath.getName.startsWith("partId="))
@@ -75,7 +77,8 @@ object GraftCompact {
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.listStatus(dir)
       .filter(_.getPath.getName.startsWith("partId="))
-      .foreach(st => recoverPartition(st.getPath, new Configuration()))
+      .foreach(st =>
+        recoverPartition(st.getPath, spark.sparkContext.hadoopConfiguration))
   }
 
   private def compactPartition(partDir: String): PartReport = {

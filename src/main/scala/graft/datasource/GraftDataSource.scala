@@ -65,7 +65,12 @@ object GraftDataSource {
     if (fs.exists(nested)) nested else root
   }
 
-  private def activeHadoopConf(): Configuration =
+  /** driver-side planning reads must see the SESSION's hadoop settings
+    * (credentials, endpoints) — a bare `new Configuration()` there would be
+    * inconsistent with planInputPartitions within the same scan. Executor
+    * code keeps `new Configuration()` (no active session there).
+    */
+  private[datasource] def activeHadoopConf(): Configuration =
     org.apache.spark.sql.SparkSession.active.sparkContext.hadoopConfiguration
 
   /** column names from the block store — METADATA-ONLY on the driver: one
@@ -76,6 +81,10 @@ object GraftDataSource {
     */
   def schemaFor(path: String): StructType = {
     val dir = blocksDir(path)
+    // loud refusal for stores written under a different block layout — an
+    // old WrapId.None block's flags byte would otherwise parse as a valid
+    // membership-filter length and decode into wrong values
+    graft.engine.StoreMeta.checkFormat(activeHadoopConf(), dir.toString)
     val fs = dir.getFileSystem(activeHadoopConf())
     val partDirs = fs.listStatus(dir).filter(_.getPath.getName.startsWith("partId="))
     require(partDirs.nonEmpty, s"no partId= directories under $dir")
@@ -147,7 +156,7 @@ class GraftScanBuilder(path: String, schema: StructType)
       n: Int): Boolean = {
     import org.apache.spark.sql.connector.expressions.{NamedReference, NullOrdering, SortDirection}
     val keys = graft.engine.StoreMeta.readSortKeys(
-      new Configuration(), GraftDataSource.blocksDir(path).toString)
+      GraftDataSource.activeHadoopConf(), GraftDataSource.blocksDir(path).toString)
     if (keys.isEmpty) return false
     val asked: Seq[Option[String]] = orders.toSeq.map { o =>
       o.expression() match {
@@ -162,7 +171,7 @@ class GraftScanBuilder(path: String, schema: StructType)
     if (!asked.flatten.corresponds(keys.take(asked.length))(_ == _)) return false
     // same single-file condition the ordering report requires
     val dir = GraftDataSource.blocksDir(path)
-    val fs = dir.getFileSystem(new Configuration())
+    val fs = dir.getFileSystem(GraftDataSource.activeHadoopConf())
     val multiFile = fs.listStatus(dir)
       .filter(_.getPath.getName.startsWith("partId="))
       .exists(st => fs.listStatus(st.getPath)
@@ -576,7 +585,7 @@ final case class GraftScan(path: String, required: StructType, preds: Seq[GraftP
     */
   override def outputOrdering(): Array[org.apache.spark.sql.connector.expressions.SortOrder] = {
     val keys = graft.engine.StoreMeta.readSortKeys(
-      new Configuration(), GraftDataSource.blocksDir(path).toString)
+      GraftDataSource.activeHadoopConf(), GraftDataSource.blocksDir(path).toString)
     if (keys.isEmpty) return Array.empty
     val present = keys.takeWhile(required.fieldNames.contains)
     if (present.isEmpty) return Array.empty
@@ -615,7 +624,7 @@ final case class GraftScan(path: String, required: StructType, preds: Seq[GraftP
   }
 
   private def statsFromManifest(wanted: Set[String]): Option[(Long, Long, Long)] = {
-    val conf = new Configuration()
+    val conf = new Configuration(GraftDataSource.activeHadoopConf())
     val manifest = new Path(new Path(path), "manifest")
     val fs = manifest.getFileSystem(conf)
     if (!fs.exists(manifest)) return None
@@ -668,7 +677,7 @@ final case class GraftScan(path: String, required: StructType, preds: Seq[GraftP
       // already have — compressed size under-estimates decoded size, which
       // at this fragmentation (>> broadcast threshold) errs on the side of
       // NOT broadcasting; rows stay unknown.
-      val conf = new Configuration()
+      val conf = GraftDataSource.activeHadoopConf()
       val bytes = parts.iterator
         .flatMap(_.asInstanceOf[GraftInputPartition].files.iterator)
         .map { f =>
@@ -677,7 +686,7 @@ final case class GraftScan(path: String, required: StructType, preds: Seq[GraftP
         }.sum
       return (-1L, bytes, bytes)
     }
-    val conf = new Configuration()
+    val conf = new Configuration(GraftDataSource.activeHadoopConf())
     conf.set(org.apache.parquet.hadoop.api.ReadSupport.PARQUET_READ_SCHEMA,
       """message g {
         |  optional binary colName (UTF8);
@@ -802,10 +811,14 @@ final case class GraftScan(path: String, required: StructType, preds: Seq[GraftP
   * start-offset", read through the same pruned/late-materialized reader as
   * the batch path. Offsets carry the per-partition file sets explicitly —
   * append files have random write-ids, so a count-prefix offset would
-  * silently miss files that sort before already-seen ones. (A production
-  * deployment would compact this log the way FileStreamSource does; the
-  * shape per offset is O(files), same as Spark's own file source pre-
-  * compaction.)
+  * silently miss files that sort before already-seen ones. The shape per
+  * offset is O(files) — same as Spark's own file source pre-compaction —
+  * and `GraftCompact` is the bound: the maintenance contract is
+  * stop-stream → compact → restart with a FRESH checkpoint (one file per
+  * partition afterwards, so the offset shrinks to O(partitions)). A stream
+  * resuming across a compaction is REFUSED loudly in planInputPartitions:
+  * the merged file would replay every already-consumed row as new
+  * (exercised end-to-end in GraftCompactSpec's 120-epoch test).
   */
 final class GraftMicroBatchStream(
     path: String, required: StructType, preds: Seq[GraftPred])
@@ -853,6 +866,18 @@ final class GraftMicroBatchStream(
     e.toSeq.sortBy(_._1).flatMap { case (partId, files) =>
       val seen = s.getOrElse(partId, Nil).toSet
       val fresh = files.filterNot(seen)
+      // a compacted file appearing as "fresh" against a non-empty committed
+      // offset means GraftCompact rewrote files this stream already
+      // consumed — reading it would silently re-emit every old row. Refuse
+      // loudly: the maintenance contract is stop-stream → compact → restart
+      // with a FRESH checkpoint (a fresh stream reads the compacted store
+      // fine, and its offsets are bounded at one file per partition).
+      if (seen.nonEmpty && fresh.exists(f =>
+          new Path(f).getName.startsWith("part-compact-")))
+        throw new IllegalStateException(
+          s"store $path partId=$partId was compacted across this stream's " +
+            "committed offset — resuming would re-read merged rows as new. " +
+            "Restart the query with a fresh checkpoint after compaction.")
       if (fresh.isEmpty) None
       else Some(GraftInputPartition(partId, fresh.toArray))
     }.toArray

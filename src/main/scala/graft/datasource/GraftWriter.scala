@@ -95,11 +95,51 @@ final class GraftStreamingWrite(path: String, schema: StructType, queryId: Strin
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
     val blocks = new Path(path, "blocks")
     val fs = blocks.getFileSystem(hadoopConf)
+    // refuse a store written under a different block layout; stamp ours
+    graft.engine.StoreMeta.checkFormat(hadoopConf, blocks.toString)
+    graft.engine.StoreMeta.writeFormatMarker(hadoopConf, blocks.toString)
     // retract ordering claim + stale Checkpoint manifest BEFORE publishing
     // (epoch files interleave sorted runs; counts change under the manifest)
     graft.engine.StoreMeta.clearSortKeys(hadoopConf, blocks.toString)
     val manifest = new Path(path, "manifest")
     if (fs.exists(manifest)) fs.delete(manifest, true)
+
+    // Epoch-replay dedupe is per (query,epoch,partition) FILE NAME, which is
+    // only sound when a replayed epoch plans the SAME partitioning — if
+    // spark.sql.shuffle.partitions changed across a restart, the replay
+    // would publish a different file set and mix attempts (old-attempt
+    // files for partitions the new attempt no longer writes would stay
+    // published next to the new attempt's). Record the epoch's non-empty
+    // partition set BEFORE publishing and fail loudly on mismatch.
+    val expected = messages.collect {
+      case GraftCommit(pid, rows, file) if rows > 0 && file != null => pid
+    }.sorted
+    val marker = new Path(blocks, s"_epoch-q$qTag-e$epochId.json")
+    if (fs.exists(marker)) {
+      val recorded = try {
+        val in = fs.open(marker)
+        val root = try new com.fasterxml.jackson.databind.ObjectMapper().readTree(in)
+          finally in.close()
+        val arr = root.get("partitions")
+        (0 until arr.size()).map(arr.get(_).asInt()).toSeq
+      } catch { case _: Exception => Nil }
+      if (recorded != expected.toSeq)
+        throw new IllegalStateException(
+          s"replayed epoch $epochId of query $qTag plans partitions " +
+            s"[${expected.mkString(",")}] but the original attempt published " +
+            s"[${recorded.mkString(",")}] — sink partitioning must be pinned " +
+            "across restarts (spark.sql.shuffle.partitions changed?); " +
+            "refusing to mix attempts")
+    } else {
+      val tmp = new Path(blocks, s"_epoch-q$qTag-e$epochId.json.tmp")
+      val out = fs.create(tmp, true)
+      try out.write(
+        s"""{"partitions":[${expected.mkString(",")}]}""".getBytes("UTF-8"))
+      finally out.close()
+      if (!fs.rename(tmp, marker))
+        throw new java.io.IOException(s"epoch marker rename failed: $marker")
+    }
+
     messages.foreach {
       case GraftCommit(pid, rows, file) if rows > 0 && file != null =>
         val dest = new Path(new Path(blocks, s"partId=$pid"),
@@ -107,7 +147,8 @@ final class GraftStreamingWrite(path: String, schema: StructType, queryId: Strin
         val src = new Path(file)
         if (fs.exists(dest)) {
           // replayed epoch: the previous attempt already published this
-          // partition — the new attempt's bytes are the same rows re-encoded
+          // partition — same partition set (checked above), same rows
+          // re-encoded
           fs.delete(src, false)
         } else {
           fs.mkdirs(dest.getParent)
@@ -160,6 +201,10 @@ class GraftBatchWrite(path: String, schema: StructType, truncate: Boolean,
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val blocks = new Path(path, "blocks")
     val fs = blocks.getFileSystem(hadoopConf)
+    // refuse to append into a store written under a different block layout;
+    // stamp the version before any file is published
+    graft.engine.StoreMeta.checkFormat(hadoopConf, blocks.toString)
+    graft.engine.StoreMeta.writeFormatMarker(hadoopConf, blocks.toString)
     // a DSv2 write makes any Checkpoint manifest stale (it describes blocks
     // this write replaces or extends) — drop it so stats/resume never trust
     // counts for data that changed underneath them

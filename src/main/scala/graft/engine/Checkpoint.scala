@@ -28,6 +28,7 @@ object Checkpoint {
 
   def readManifest(spark: SparkSession, outDir: String): Dataset[ManifestEntry] = {
     import org.apache.spark.sql.functions.col
+    StoreMeta.checkFormat(spark.sparkContext.hadoopConfiguration, blocksDir(outDir))
     spark.read.parquet(manifestDir(outDir)).as(Encoders.product[ManifestEntry])
   }
 
@@ -75,6 +76,12 @@ object Checkpoint {
     // remove block output of partitions that never reached the manifest
     // (crashed mid-write) so re-encode does not duplicate
     cleanUncommitted(spark, outDir, completed)
+
+    // stamp/verify the block-format version before any block lands —
+    // resuming into a store written under a different layout would mix
+    // formats, and decode would misparse rather than fail
+    StoreMeta.checkFormat(spark.sparkContext.hadoopConfiguration, blocksDir(outDir))
+    StoreMeta.writeFormatMarker(spark.sparkContext.hadoopConfiguration, blocksDir(outDir))
 
     val partitioned = Encoder.partitionInput(df, cols, sortKeys, cfg, Some(skew))
     val blocks = Encoder.encodePartitioned(partitioned, cols, cfg, skipParts = completed)

@@ -27,6 +27,78 @@ object StoreMeta {
 
   val SortKeysFile = "_sortkeys.json"
 
+  /** Block-store format version marker: `_format.json` in the blocks dir.
+    *
+    * v2 = the `[varint filterLen][membership filter][wrapped container]`
+    * block layout. A v1 (pre-filter) block that was stored WrapId.None
+    * starts with a flags byte (0/1) that PARSES as a valid filterLen, so
+    * decodeBlock could silently misparse old stores into wrong values —
+    * the marker turns that into a deterministic, loud refusal. Every
+    * writer (Checkpoint, DSv2 batch/stream, compaction keeps it) stamps
+    * the marker; readers refuse a store whose blocks exist without it or
+    * with a different version.
+    */
+  val FormatFile = "_format.json"
+  val FormatVersion = 2
+
+  private def formatFileFor(blocksDir: Path) = new Path(blocksDir, FormatFile)
+
+  /** stamp the store format (idempotent, temp-then-rename) */
+  def writeFormatMarker(conf: Configuration, blocksDir: String): Unit = {
+    val dir = new Path(blocksDir)
+    val f = formatFileFor(dir)
+    val fs = f.getFileSystem(conf)
+    if (readFormatVersion(conf, blocksDir).contains(FormatVersion)) return
+    fs.mkdirs(dir)
+    val tmp = new Path(dir, FormatFile + ".tmp")
+    val out = fs.create(tmp, true)
+    try out.write(s"""{"formatVersion":$FormatVersion}""".getBytes("UTF-8"))
+    finally out.close()
+    if (fs.exists(f)) fs.delete(f, false)
+    if (!fs.rename(tmp, f))
+      throw new java.io.IOException(s"format marker rename failed in $blocksDir")
+  }
+
+  /** the recorded version, or None when the marker is absent/unreadable */
+  def readFormatVersion(conf: Configuration, blocksDir: String): Option[Int] = {
+    val f = formatFileFor(new Path(blocksDir))
+    val fs = f.getFileSystem(conf)
+    if (!fs.exists(f)) return None
+    try {
+      val in = fs.open(f)
+      val root = try new com.fasterxml.jackson.databind.ObjectMapper().readTree(in)
+        finally in.close()
+      Option(root.get("formatVersion")).map(_.asInt())
+    } catch { case _: Exception => None }
+  }
+
+  /** refuse to read a store whose block files predate the marker (or carry
+    * a different version). An absent/empty blocks dir is fine — nothing to
+    * misread yet.
+    */
+  def checkFormat(conf: Configuration, blocksDir: String): Unit = {
+    val dir = new Path(blocksDir)
+    val fs = dir.getFileSystem(conf)
+    if (!fs.exists(dir)) return
+    readFormatVersion(conf, blocksDir) match {
+      case Some(FormatVersion) => ()
+      case Some(v) =>
+        throw new IllegalStateException(
+          s"graft store $blocksDir has format version $v; this build reads " +
+            s"version $FormatVersion — re-encode the store with a matching build")
+      case None =>
+        val hasBlocks = fs.listStatus(dir).exists { st =>
+          st.getPath.getName.startsWith("partId=") &&
+            fs.listStatus(st.getPath).exists(_.getPath.getName.endsWith(".parquet"))
+        }
+        if (hasBlocks)
+          throw new IllegalStateException(
+            s"graft store $blocksDir has block files but no ${FormatFile} marker " +
+              s"— written by a pre-v$FormatVersion build? Refusing to decode " +
+              "(old WrapId.None blocks would misparse silently); re-encode the store")
+    }
+  }
+
   private def fileFor(blocksDir: Path) = new Path(blocksDir, SortKeysFile)
 
   /** record the sorted-by prefix (temp-then-rename, like every commit here) */

@@ -151,4 +151,67 @@ class GraftCompactSpec extends AnyFunSuite {
     GraftCompact.recover(spark, store)
     assert(spark.read.format("graft").load(store).count() == countBefore)
   }
+
+  test("120 streaming epochs: compaction bounds the offset; stale checkpoint refuses") {
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-epochs").toString
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(String, String, String)]
+    val q = input.toDS().toDF("doc_id_s", "lang", "text")
+      .writeStream.format("graft")
+      .option("sortKeys", "lang,doc_id_s")
+      .option("numPartitions", "2")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .outputMode("append")
+      .start(s"$dir/store")
+    val nEpochs = 120
+    (0 until nEpochs).foreach { e =>
+      input.addData((e.toString, if (e % 2 == 0) "en" else "fr", s"body $e"))
+      q.processAllAvailable()
+    }
+    q.stop()
+
+    // the streaming-source offset carries the explicit per-partition file
+    // set: after 120 one-row epochs it is O(epochs) — this is exactly what
+    // GraftCompact is for
+    val schema = GraftDataSource.schemaFor(s"$dir/store")
+    val mbs = new GraftMicroBatchStream(s"$dir/store", schema, Nil)
+    val before = mbs.latestOffset().asInstanceOf[GraftStreamOffset]
+    val filesBefore = before.files.valuesIterator.map(_.size).sum
+    assert(filesBefore >= nEpochs,
+      s"expected >= $nEpochs epoch files, got $filesBefore")
+
+    GraftCompact.compactStore(spark, s"$dir/store")
+
+    // bounded: one file per partition dir, offset JSON shrinks accordingly
+    val after = mbs.latestOffset().asInstanceOf[GraftStreamOffset]
+    val filesAfter = after.files.valuesIterator.map(_.size).sum
+    assert(filesAfter == after.files.size,
+      s"expected 1 file/partition, got ${after.files.view.mapValues(_.size).toMap}")
+    assert(after.json().length < before.json().length / 10)
+
+    // a consumer resuming from a PRE-compaction committed offset must
+    // refuse loudly (the compacted file would replay every merged row),
+    // pointing at the fresh-checkpoint maintenance contract
+    val e1 = intercept[IllegalStateException] {
+      mbs.planInputPartitions(before, after)
+    }
+    assert(e1.getMessage.contains("fresh checkpoint"))
+
+    // a FRESH consumer reads the compacted store completely and correctly
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[org.apache.spark.sql.Row]()
+    val q2 = spark.readStream.format("graft").load(s"$dir/store")
+      .writeStream.option("checkpointLocation", s"$dir/ckpt2")
+      .foreachBatch((b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+          _: Long) => { b.collect().foreach(seen.add); () })
+      .start()
+    q2.processAllAvailable()
+    q2.stop()
+    assert(seen.size == nEpochs)
+    import scala.jdk.CollectionConverters._
+    assert(seen.asScala.map(_.getString(0)).toSet ==
+      (0 until nEpochs).map(_.toString).toSet)
+  }
 }

@@ -529,4 +529,67 @@ class GraftDataSourceSpec extends AnyFunSuite {
     val exp = original.where(col("lang") === "ja" && col("source") === "src3").count()
     assert(n == exp)
   }
+
+  test("format marker: writers stamp v2; missing/wrong marker refuses loudly") {
+    import graft.engine.StoreMeta
+    val conf = spark.sparkContext.hadoopConfiguration
+    val blocks = GraftDataSource.blocksDir(store).toString
+    // every writer path stamps the marker
+    assert(StoreMeta.readFormatVersion(conf, blocks).contains(StoreMeta.FormatVersion))
+
+    // build a small disposable store and sabotage the marker
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-fmt").toString
+    Seq(("a", "1"), ("b", "2")).toDF("k", "v")
+      .write.format("graft").option("sortKeys", "k").mode("overwrite").save(dir)
+    assert(spark.read.format("graft").load(dir).count() == 2)
+    val bdir = GraftDataSource.blocksDir(dir).toString
+    val fs = new org.apache.hadoop.fs.Path(bdir).getFileSystem(conf)
+    val marker = new org.apache.hadoop.fs.Path(bdir, StoreMeta.FormatFile)
+
+    // marker deleted (pre-v2 store shape): deterministic refusal, not a
+    // silent misparse
+    fs.delete(marker, false)
+    val e1 = intercept[IllegalStateException] {
+      spark.read.format("graft").load(dir).count()
+    }
+    assert(e1.getMessage.contains("no " + StoreMeta.FormatFile))
+
+    // wrong version: refusal names both versions
+    val out = fs.create(marker, true)
+    out.write("""{"formatVersion":1}""".getBytes("UTF-8")); out.close()
+    val e2 = intercept[IllegalStateException] {
+      spark.read.format("graft").load(dir).count()
+    }
+    assert(e2.getMessage.contains("format version 1"))
+
+    // restored marker reads again
+    StoreMeta.writeFormatMarker(conf, bdir)
+    assert(spark.read.format("graft").load(dir).count() == 2)
+  }
+
+  test("streaming epoch replay with a different partition set refuses loudly") {
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files.createTempDirectory("graft-epoch").toString
+    val schema = StructType(Seq(StructField("k", StringType)))
+    val w = new GraftStreamingWrite(dir, schema, "query-x")
+    def staged(name: String): String = {
+      val p = java.nio.file.Paths.get(dir, "blocks", "_stage-test", name)
+      java.nio.file.Files.createDirectories(p.getParent)
+      java.nio.file.Files.write(p, Array[Byte](1, 2, 3))
+      p.toString
+    }
+    // original attempt publishes partitions {0, 1}
+    w.commit(7L, Array(GraftCommit(0, 5, staged("a.parquet")),
+      GraftCommit(1, 5, staged("b.parquet"))))
+    // identical replay dedupes silently (file names + epoch marker agree)
+    w.commit(7L, Array(GraftCommit(0, 5, staged("a2.parquet")),
+      GraftCommit(1, 5, staged("b2.parquet"))))
+    // replay that plans a DIFFERENT partition set (shuffle partitioning
+    // changed across restart) must fail loudly instead of mixing attempts
+    val e = intercept[IllegalStateException] {
+      w.commit(7L, Array(GraftCommit(2, 10, staged("c.parquet"))))
+    }
+    assert(e.getMessage.contains("partitioning must be pinned"))
+  }
 }
