@@ -85,7 +85,23 @@ object TextQueries {
       // consumed twice (profile build + scoring join): cache so the per-doc
       // trigram flatMap — the expensive part — runs once, not twice
       .cache()
-    val profiles = tri.groupBy("lang", "tri").agg(sum(col("cnt")).as("c"))
+    // two-phase top-k profile build: a single window partitioned by lang
+    // would funnel every distinct (lang, trigram) row of a language through
+    // ONE reducer task (~25 tasks total at any corpus size). Phase 1 takes a
+    // partial top-50 per (lang, shard-of-trigram) — exact, because the
+    // ordering (c desc, tri) is total, so each global top-50 trigram ranks
+    // <=50 inside its own shard. Phase 2 merges at most shards*50 rows per
+    // lang — bounded regardless of corpus size.
+    val profileShards = 64
+    val triCounts = tri.groupBy("lang", "tri").agg(sum(col("cnt")).as("c"))
+    val partialTop = triCounts
+      .withColumn("shard", pmod(hash(col("tri")), lit(profileShards)))
+      .withColumn("rnk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("lang", "shard")
+          .orderBy(col("c").desc, col("tri"))))
+      .where(col("rnk") <= 50)
+      .drop("rnk", "shard")
+    val profiles = partialTop
       .withColumn("rnk", row_number().over(
         org.apache.spark.sql.expressions.Window.partitionBy("lang")
           .orderBy(col("c").desc, col("tri"))))
