@@ -1,10 +1,11 @@
 package graft.multimodal
 
 /** Pure-JVM media codecs for the formats that need no external libraries:
-  * binary PPM (P6) images and PCM16 mono WAV audio — both fully public,
-  * trivially specified container formats. These make the multimodal decode
-  * path REAL for image/audio (JPEG/PNG/MP3/video stay declared stubs: no
-  * codec libs ship in this container).
+  * binary PPM (P6) images, PCM16 mono WAV audio, and Y4M (YUV4MPEG2)
+  * video — all fully public, trivially specified container formats. These
+  * make the multimodal decode path REAL for image/audio/video (compressed
+  * codecs like JPEG/MP3/H.264 would need libraries this container does not
+  * ship).
   */
 object MediaCodecs {
 
@@ -167,4 +168,116 @@ object MediaCodecs {
       }
       out
     }
+
+  // ------------------------------------------------------- Y4M (YUV4MPEG2)
+
+  /** encode frames (each 3*w*h bytes: planar YUV 4:4:4) as a YUV4MPEG2
+    * stream: `YUV4MPEG2 W# H# F#:# Ip A1:1 C444\n` then per frame
+    * `FRAME\n` + planes. Uncompressed, fully public, trivially specified —
+    * the video analog of PPM/WAV above.
+    */
+  def encodeY4m(w: Int, h: Int, fpsNum: Int, fpsDen: Int,
+      frames: Array[Array[Byte]]): Array[Byte] = {
+    val frameLen = 3 * w * h
+    require(frames.forall(_.length == frameLen),
+      s"each C444 frame needs $frameLen bytes")
+    val header = s"YUV4MPEG2 W$w H$h F$fpsNum:$fpsDen Ip A1:1 C444\n"
+      .getBytes("US-ASCII")
+    val marker = "FRAME\n".getBytes("US-ASCII")
+    val out = new Array[Byte](
+      header.length + frames.length * (marker.length + frameLen))
+    System.arraycopy(header, 0, out, 0, header.length)
+    var pos = header.length
+    frames.foreach { f =>
+      System.arraycopy(marker, 0, out, pos, marker.length)
+      pos += marker.length
+      System.arraycopy(f, 0, out, pos, frameLen)
+      pos += frameLen
+    }
+    out
+  }
+
+  final case class Y4mHeader(w: Int, h: Int, fpsNum: Int, fpsDen: Int,
+      colorspace: String, headerLen: Int) {
+    def frameLen: Int = colorspace match {
+      case "C444" => 3 * w * h
+      case "C420" | "C420jpeg" | "C420paldv" | "C420mpeg2" => w * h * 3 / 2
+      case "C422" => 2 * w * h
+      case _ => -1
+    }
+  }
+
+  /** parse the stream header line; None for non-Y4M payloads */
+  def decodeY4mHeader(b: Array[Byte]): Option[Y4mHeader] = {
+    val magic = "YUV4MPEG2"
+    if (b.length < magic.length + 1) return None
+    var i = 0
+    while (i < magic.length) {
+      if (b(i) != magic.charAt(i)) return None
+      i += 1
+    }
+    var end = i
+    while (end < b.length && b(end) != '\n') end += 1
+    if (end >= b.length) return None
+    val params = new String(b, i, end - i, "US-ASCII").trim.split("\\s+")
+    var w = -1; var h = -1; var fn = 30; var fd = 1; var cs = "C420"
+    params.foreach { p =>
+      if (p.nonEmpty) p.charAt(0) match {
+        case 'W' => w = p.drop(1).toIntOption.getOrElse(-1)
+        case 'H' => h = p.drop(1).toIntOption.getOrElse(-1)
+        case 'F' => p.drop(1).split(":") match {
+          case Array(n, d) =>
+            fn = n.toIntOption.getOrElse(30); fd = d.toIntOption.getOrElse(1)
+          case _ =>
+        }
+        case 'C' => cs = p
+        case _ => // Ip / A1:1 / X extensions — irrelevant to frame layout
+      }
+    }
+    if (w <= 0 || h <= 0) None
+    else Some(Y4mHeader(w, h, fn, fd, cs, end + 1))
+  }
+
+  /** frame offsets: each frame is `FRAME[ params]\n` + frameLen bytes */
+  def y4mFrameOffsets(b: Array[Byte], hdr: Y4mHeader): Seq[Int] = {
+    val fl = hdr.frameLen
+    if (fl <= 0) return Nil
+    val out = scala.collection.mutable.ArrayBuffer.empty[Int]
+    var pos = hdr.headerLen
+    while (pos + 5 <= b.length) {
+      // FRAME marker, optionally with parameters up to '\n'
+      if (b(pos) != 'F' || b(pos + 1) != 'R' || b(pos + 2) != 'A' ||
+          b(pos + 3) != 'M' || b(pos + 4) != 'E') return out.toSeq
+      var nl = pos + 5
+      while (nl < b.length && b(nl) != '\n') nl += 1
+      if (nl >= b.length || nl + 1 + fl > b.length) return out.toSeq
+      out += nl + 1
+      pos = nl + 1 + fl
+    }
+    out.toSeq
+  }
+
+  /** decode the whole stream → (header, frames of frameLen bytes each) */
+  def decodeY4m(b: Array[Byte]): Option[(Y4mHeader, Array[Array[Byte]])] =
+    decodeY4mHeader(b).filter(_.frameLen > 0).map { hdr =>
+      val frames = y4mFrameOffsets(b, hdr).map(off =>
+        java.util.Arrays.copyOfRange(b, off, off + hdr.frameLen)).toArray
+      (hdr, frames)
+    }
+
+  /** luma histogram of one raw frame (Y plane = first w*h bytes in every
+    * supported colorspace)
+    */
+  def y4mLumaHistogram(frame: Array[Byte], w: Int, h: Int,
+      bins: Int): Array[Float] = {
+    val out = new Array[Float](bins)
+    val n = math.min(frame.length, w * h)
+    var i = 0
+    while (i < n) {
+      out(((frame(i) & 0xff) * bins) >> 8) += 1f
+      i += 1
+    }
+    if (n > 0) { var d = 0; while (d < bins) { out(d) /= n; d += 1 } }
+    out
+  }
 }

@@ -7,10 +7,12 @@ import org.apache.spark.sql.functions._
   * typed metadata, plus decode / feature-extract / resize / frame-sample
   * stages as typed Dataset transformations.
   *
-  * The Spark-side plumbing — schema, partitioning, batch shape — is real
-  * and tested; the actual media decode is STUBBED with a deterministic
-  * fake (no image/audio libs ship in this container). Every stub is marked;
-  * swapping in a real decoder changes only the function body, not the plan.
+  * Image (PPM), audio (PCM16 WAV) and video (Y4M/YUV4MPEG2) decode are
+  * REAL pure-JVM parsers (MediaCodecs) — container formats with public,
+  * trivial specs need no external libs. Formats that would need a codec
+  * library (JPEG/PNG/MP3/H.264 — none ship in this container) fall back to
+  * a deterministic, clearly-marked fallback; swapping in a real decoder
+  * there changes only the function body, not the plan shape.
   */
 object Multimodal {
 
@@ -26,9 +28,9 @@ object Multimodal {
   final case class MediaFeatures(doc_id: Long, kind: String, features: Array[Float])
 
   /** deterministic synthetic media table (seeded, no external data).
-    * Images are REAL binary PPM files and audio REAL PCM16 WAV files
-    * (MediaCodecs) — the decode stages below parse them for real; video
-    * payloads stay random bytes behind the declared frame-sampling stub.
+    * Images are REAL binary PPM files, audio REAL PCM16 WAV files, and
+    * video REAL Y4M (YUV4MPEG2) streams (MediaCodecs) — every decode stage
+    * below parses its container for real.
     */
   def syntheticTable(spark: SparkSession, rows: Long, seed: Long = 42L,
       parts: Int = 8): Dataset[MediaFile] = {
@@ -52,18 +54,28 @@ object Multimodal {
               rng.nextInt(2000) - 1000).toShort)
           MediaFile(i, MediaMeta(kind, 0, 0, rate, durMs), MediaCodecs.encodeWav(rate, samples))
         case _ =>
-          val payload = new Array[Byte](256 + rng.nextInt(2048))
-          rng.nextBytes(payload)
-          MediaFile(i, MediaMeta(kind, 320, 240, 0, 1000L + rng.nextInt(60000)), payload)
+          val w = 8 + rng.nextInt(24)
+          val h = 8 + rng.nextInt(24)
+          val fps = 5 + rng.nextInt(25)
+          val nFrames = 4 + rng.nextInt(12)
+          val frames = Array.fill(nFrames) {
+            val f = new Array[Byte](3 * w * h)
+            rng.nextBytes(f)
+            f
+          }
+          MediaFile(i,
+            MediaMeta(kind, w, h, 0, nFrames * 1000L / fps),
+            MediaCodecs.encodeY4m(w, h, fps, 1, frames))
       }
     }
   }
 
   /** Decode → fixed-dim feature vector. REAL for PPM images (16-bin
-    * luminance histogram) and PCM16 WAV audio (16-window RMS envelope) via
-    * MediaCodecs; other formats (JPEG/PNG/MP3/video — no codec libs in this
-    * container) fall back to the declared deterministic stub. Plan shape
-    * (narrow map over binary, no shuffle) is identical either way.
+    * luminance histogram), PCM16 WAV audio (16-window RMS envelope) and Y4M
+    * video (luma histogram of the first frame) via MediaCodecs; formats
+    * with no pure-JVM codec (JPEG/MP3/H.264) fall back to the deterministic
+    * byte-level fallback. Plan shape (narrow map over binary, no shuffle)
+    * is identical either way.
     */
   val FeatureDim = 16
 
@@ -73,15 +85,20 @@ object Multimodal {
       val real = m.meta.kind match {
         case "image" => MediaCodecs.ppmLumaHistogram(m.media, FeatureDim)
         case "audio" => MediaCodecs.wavRmsWindows(m.media, FeatureDim)
-        case _ => None
+        case _ => MediaCodecs.decodeY4m(m.media).collect {
+          case (hdr, frames) if frames.nonEmpty =>
+            MediaCodecs.y4mLumaHistogram(frames(0), hdr.w, hdr.h, FeatureDim)
+        }
       }
       MediaFeatures(m.doc_id, m.meta.kind, real.getOrElse(stubFeatures(m.media)))
     }
   }
 
+  /** deterministic byte-level fallback for payloads whose codec is not in
+    * this container (JPEG/MP3/H.264): keeps shape + determinism so the
+    * pipeline stays testable end-to-end
+    */
   private[multimodal] def stubFeatures(bytes: Array[Byte]): Array[Float] = {
-    // ??? real decode goes here for formats without a pure-JVM parser —
-    // deterministic fake below keeps shape/determinism testable
     val out = new Array[Float](FeatureDim)
     var i = 0
     while (i < bytes.length) {
@@ -116,19 +133,25 @@ object Multimodal {
     }
   }
 
-  /** STUB frame sampling: every Nth fixed-size chunk stands in for every
-    * Nth decoded frame — output is (doc_id, frame_idx, frame binary)
+  /** REAL frame sampling: parse the Y4M container (header + `FRAME\n`
+    * markers), emit every Nth raw frame (planar YUV bytes) as
+    * (doc_id, frame_idx, frame binary). Non-Y4M video payloads (no codec
+    * in this container) produce no frames rather than fake ones. The frame
+    * copy is lazy per offset — a sampled stream never materializes the
+    * skipped frames.
     */
-  def sampleFrames(media: Dataset[MediaFile], everyNth: Int, frameBytes: Int = 128): DataFrame = {
+  def sampleFrames(media: Dataset[MediaFile], everyNth: Int): DataFrame = {
     import media.sparkSession.implicits._
     media.flatMap { m =>
       if (m.meta.kind != "video") Iterator.empty
-      else {
-        val nFrames = m.media.length / frameBytes
-        (0 until nFrames by everyNth).iterator.map { f =>
-          (m.doc_id, f,
-            java.util.Arrays.copyOfRange(m.media, f * frameBytes, (f + 1) * frameBytes))
-        }
+      else MediaCodecs.decodeY4mHeader(m.media) match {
+        case Some(hdr) if hdr.frameLen > 0 =>
+          val offsets = MediaCodecs.y4mFrameOffsets(m.media, hdr)
+          offsets.indices.iterator.filter(_ % everyNth == 0).map { f =>
+            (m.doc_id, f, java.util.Arrays.copyOfRange(
+              m.media, offsets(f), offsets(f) + hdr.frameLen))
+          }
+        case _ => Iterator.empty
       }
     }.toDF("doc_id", "frame_idx", "frame")
   }

@@ -93,15 +93,50 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
-  test("frame sampling emits every Nth chunk for videos only") {
+  test("frame sampling decodes REAL Y4M frames bit-exactly, videos only") {
     val media = Multimodal.syntheticTable(spark, 200)
     val frames = Multimodal.sampleFrames(media, everyNth = 2)
-    val kinds = media.collect().map(m => m.doc_id -> m.meta.kind).toMap
+    val byId = media.collect().map(m => m.doc_id -> m).toMap
     val got = frames.collect()
     assert(got.nonEmpty)
-    assert(got.forall(r => kinds(r.getLong(0)) == "video"))
-    assert(got.forall(_.getAs[Array[Byte]](2).length == 128))
+    assert(got.forall(r => byId(r.getLong(0)).meta.kind == "video"))
     assert(got.forall(_.getInt(1) % 2 == 0))
+    // every sampled frame byte-equals the frame decoded directly from the
+    // original Y4M payload, and has the exact C444 plane size
+    got.foreach { r =>
+      val m = byId(r.getLong(0))
+      val Some((hdr, all)) = MediaCodecs.decodeY4m(m.media)
+      assert(hdr.w == m.meta.width && hdr.h == m.meta.height)
+      val frame = r.getAs[Array[Byte]](2)
+      assert(frame.length == 3 * hdr.w * hdr.h)
+      assert(java.util.Arrays.equals(frame, all(r.getInt(1))))
+    }
+  }
+
+  test("y4m codec round-trips frames and tolerates frame params/colorspaces") {
+    val rng = new java.util.SplittableRandom(7)
+    val (w, h) = (12, 9)
+    val frames = Array.fill(5) {
+      val f = new Array[Byte](3 * w * h)
+      rng.nextBytes(f)
+      f
+    }
+    val y4m = MediaCodecs.encodeY4m(w, h, 25, 1, frames)
+    val Some((hdr, back)) = MediaCodecs.decodeY4m(y4m)
+    assert(hdr == MediaCodecs.Y4mHeader(12, 9, 25, 1, "C444", hdr.headerLen))
+    assert(back.length == 5)
+    back.zip(frames).foreach { case (a, b) => assert(java.util.Arrays.equals(a, b)) }
+    // C420 frame sizing + FRAME parameter tolerance
+    val c420 = ("YUV4MPEG2 W4 H4 F30:1 Ip A1:1 C420\n" +
+      "FRAME Xextra\n" + "x" * 24 + "FRAME\n" + "y" * 24).getBytes("US-ASCII")
+    val Some(h420) = MediaCodecs.decodeY4mHeader(c420)
+    assert(h420.frameLen == 24)
+    assert(MediaCodecs.y4mFrameOffsets(c420, h420).length == 2)
+    // truncated tail frame is not emitted
+    val trunc = java.util.Arrays.copyOf(c420, c420.length - 3)
+    assert(MediaCodecs.y4mFrameOffsets(trunc, h420).length == 1)
+    // non-Y4M payloads refuse cleanly
+    assert(MediaCodecs.decodeY4mHeader("not a video".getBytes).isEmpty)
   }
 
   test("feature stats aggregates per kind") {
