@@ -29,8 +29,10 @@ object SparkEntry {
     "q_dsv2_agg" -> (CoreQueries.dsv2Agg _),
     "q_key_lookup" -> (CoreQueries.keyLookup _),
     "q_compact_roundtrip" -> (CoreQueries.compactRoundtrip _),
+    "q_stream_roundtrip" -> (CoreQueries.streamRoundtrip _),
     "q_topn" -> (CoreQueries.topN _),
     "q_codec_selection" -> (CoreQueries.codecSelection _),
+    "q_codec_decisions" -> (CoreQueries.codecDecisions _),
     "q_encode_metrics" -> (CoreQueries.encodeMetrics _),
     // relational coverage: agg / broadcast join / window / time window
     "q1_agg" -> (CoreQueries.q1Agg _),
@@ -63,7 +65,8 @@ object SparkEntry {
     "q_toon_roundtrip" -> (FormatQueries.toonRoundtripAgg _),
     "q_protobuf_roundtrip" -> (FormatQueries.protobufRoundtripAgg _),
     "q_markdown_stats" -> (FormatQueries.markdownStats _),
-    "q_infer_schema" -> (FormatQueries.inferredSchema _)
+    "q_infer_schema" -> (FormatQueries.inferredSchema _),
+    "q_coerce_union" -> (FormatQueries.coerceUnion _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -104,10 +107,14 @@ object SparkEntry {
     "q_compact_roundtrip" ->
       """SELECT lang, count(*) AS cnt, CAST(sum(len(text)) AS BIGINT) AS total_text_len
         |FROM documents GROUP BY lang""".stripMargin,
+    "q_stream_roundtrip" ->
+      """SELECT lang, count(*) AS cnt, CAST(sum(len(text)) AS BIGINT) AS total_text_len
+        |FROM documents GROUP BY lang""".stripMargin,
     "q_topn" ->
       """SELECT CAST(doc_id AS VARCHAR) AS doc_id_s, lang, source, sha256(text) AS h
         |FROM documents
-        |ORDER BY lang, source, CAST(doc_id AS VARCHAR) LIMIT 50""".stripMargin,
+        |ORDER BY lang NULLS FIRST, source NULLS FIRST,
+        |  CAST(doc_id AS VARCHAR) NULLS FIRST LIMIT 50""".stripMargin,
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(round(sum(l_quantity)*100) AS BIGINT) AS sum_qty_c,
@@ -174,6 +181,38 @@ object SparkEntry {
         |  CAST(sum(len(lang) + 2 + len(text)) AS BIGINT) AS total_txt_len,
         |  CAST(sum(len(lang) + 2 + len(text)) AS BIGINT) AS total_rt_len
         |FROM documents GROUP BY lang""".stripMargin,
-    "q_infer_schema" -> OracleSql.inferSchema
+    "q_infer_schema" -> OracleSql.inferSchema,
+    // pins CodecSelector's decision tree branch-by-branch (see
+    // CoreQueries.codecDecisions — crafted probe distributions)
+    "q_codec_decisions" ->
+      """SELECT col_name, codec FROM (VALUES
+        |  ('p_dict', 'dict'), ('p_dictrle', 'dictrle'), ('p_for', 'for'),
+        |  ('p_fsst', 'fsst'), ('p_hex', 'hex'), ('p_plain', 'plain'),
+        |  ('p_rle', 'rle')) AS t(col_name, codec)
+        |ORDER BY col_name""".stripMargin,
+    // mirrors FormatQueries.coerceUnion: the derived mixed-type cells are a
+    // pure function of doc_id, so the union/WARN outcomes replay in SQL —
+    // u: m=0 long "3d", m=1 double "d.5", m=2 boolean → 'true', m=3 null
+    // literal, m=4 string 'v'||d; qual: null (WARN) iff doc_id%7=3
+    "q_coerce_union" ->
+      """WITH d AS (
+        |  SELECT doc_id, doc_id % 5 AS m,
+        |    CASE doc_id % 5
+        |      WHEN 0 THEN CAST(doc_id * 3 AS VARCHAR)
+        |      WHEN 1 THEN CAST(doc_id AS VARCHAR) || '.5'
+        |      WHEN 2 THEN 'true'
+        |      WHEN 3 THEN NULL
+        |      ELSE 'v' || CAST(doc_id AS VARCHAR) END AS u,
+        |    CASE WHEN doc_id % 7 = 3 THEN NULL ELSE doc_id % 100 END AS qual
+        |  FROM documents)
+        |SELECT m AS case_id, count(*) AS cnt,
+        |  CAST(sum(CASE WHEN u IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS union_nulls,
+        |  CAST(sum(COALESCE(len(u), 0)) AS BIGINT) AS union_len,
+        |  CAST(sum(doc_id) AS BIGINT) AS sum_ids,
+        |  CAST(sum(qual) AS BIGINT) AS sum_qual,
+        |  CAST(sum(CASE WHEN qual IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS bad_cells,
+        |  count(*) AS extra_nulls,
+        |  'int' AS t_c0, 'string' AS t_c1, 'string' AS t_c2
+        |FROM d GROUP BY m""".stripMargin
   )
 }

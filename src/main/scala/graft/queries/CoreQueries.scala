@@ -195,6 +195,33 @@ object CoreQueries {
         sum(length(col("text"))).cast("long").as("total_text_len"))
   }
 
+  /** Streaming round-trip through BOTH native streaming seams: batch-encode
+    * documents into a graft store, readStream it as micro-batches (pinned
+    * file set via AvailableNow), writeStream through the epoch-idempotent
+    * graft sink into a second store, then aggregate the landed store — a
+    * correct pipeline must reproduce the original table's aggregates. This
+    * is the driver-visible form of the sbt streaming specs (source offsets,
+    * sink commit protocol, epoch markers all exercised for real).
+    */
+  def streamRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-q-stream").toString
+    val df = docsAsStrings(spark, sfDir)
+    df.write.format("graft").option("sortKeys", "lang,source,doc_id_s")
+      .option("numPartitions", "4").mode("overwrite").save(s"$dir/src")
+    val q = spark.readStream.format("graft").load(s"$dir/src")
+      .writeStream.format("graft")
+      .option("sortKeys", "lang,source,doc_id_s")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start(s"$dir/dst")
+    q.awaitTermination()
+    spark.read.format("graft").load(s"$dir/dst")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(length(col("text"))).cast("long").as("total_text_len"))
+  }
+
   /** sampled stats pass + selector decision per (partition, column) */
   def codecSelection(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
@@ -208,6 +235,51 @@ object CoreQueries {
       }
       .toDF("col_name", "part_id", "codec", "cnt", "ndv", "max_run", "total_bytes")
       .orderBy("col_name", "part_id")
+  }
+
+  /** Selector decision table pinned on crafted per-branch probe columns:
+    * one synthetic value distribution per decision-tree branch
+    * (CodecSelector.select), each generated deterministically inside its
+    * own task (no shuffle — the probes are independent). The DuckDB oracle
+    * is a VALUES CTE of the expected (col_name, codec) pairs, so ANY drift
+    * in the selector's thresholds or ordering fails the driver loudly —
+    * the q_infer_schema treatment applied to codec selection. Input is
+    * sfDir-independent by design: the decision tree, not the data, is
+    * under test (q_codec_selection keeps the per-partition stats payload,
+    * rows-only by contract).
+    */
+  def codecDecisions(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val probes = Seq("p_for", "p_rle", "p_dictrle", "p_dict", "p_hex",
+      "p_fsst", "p_plain")
+    spark.createDataset(probes).repartition(probes.length)
+      .map { name =>
+        def gen(n: Int)(f: Int => String): Array[Array[Byte]] =
+          Array.tabulate(n)(i => f(i).getBytes("UTF-8"))
+        val values: Array[Array[Byte]] = name match {
+          // canonical longs, packable range → frame-of-reference
+          case "p_for" => gen(50000)(i => (1000000 + i).toString)
+          // runs of 4 with ndv ABOVE the 2^16 exactness cap → dict is
+          // excluded (inexact ndv), run structure → rle
+          case "p_rle" => gen(280000)(i => "r" + (i / 4))
+          // low ndv AND runs → dictionary with RLE'd indices
+          case "p_dictrle" => gen(50000)(i => "v" + ((i / 8) % 40))
+          // low ndv, no run structure → plain dictionary
+          case "p_dict" => gen(50000)(i => "cat" + ((i * 7919) % 50))
+          // uniform even-length lowercase hex (letters present, so not
+          // canonical longs) → nibble packing
+          case "p_hex" => gen(20000)(i => f"f${i * 2654435761L}%015x")
+          // long high-entropy text → FSST
+          case "p_fsst" => gen(20000)(i => s"the quick brown fox jumps over $i")
+          // short, unique, non-numeric, non-hex → plain fallback
+          case "p_plain" => gen(20000)(i => f"z$i%07d")
+        }
+        val codec = graft.plan.CodecSelector.select(
+          graft.stats.BlockStats.compute(name, 0, values))
+        (name, CodecId.name(codec.id))
+      }
+      .toDF("col_name", "codec")
+      .orderBy("col_name")
   }
 
   /** full encode of documents; per-column codec + size metrics */

@@ -169,6 +169,65 @@ object FormatQueries {
   }
 
   /** inferred schema of the CSV projection of documents (rows-only) */
+  /** headerless positional CSV of mixed-type cells, driven end-to-end
+    * through the coercion algebra: `Coerce.framePositional` (schema fields
+    * zip input columns by index, missing trailing field → typed null),
+    * `Coerce.cellUnion` (first target that converts wins per value), a
+    * full-frame `InferSchema.infer` pre-pass (inferred simpleStrings are
+    * emitted as columns, pinning the lattice), and WARN/SKIP bad-cell
+    * counting (schema-directed int over cells that sometimes don't parse —
+    * lax mode nulls them and the count is the reference's bad-lines tally).
+    * ≙ reference avro/AvroConverter.java:197-216 (fromArray), :460-469
+    * (complexUnion), :219-230 (inferAllFields), :629-717 + OnBadLines.java
+    * :6-19 (counting WARN/SKIP).
+    *
+    * Inference scans ALL rows (a 100-row sample's content depends on file
+    * order — nondeterministic under an oracle); the bounded collect is fine
+    * at driver scale and the pre-pass stays a pure function of the table.
+    */
+  def coerceUnion(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files.createTempDirectory("graft-q-coerce").toString
+    val docs = load(spark, sfDir, "documents")
+    val m = pmod(col("doc_id"), lit(5))
+    val derived = docs.select(
+      col("doc_id").cast("string").as("c0"),
+      when(m === 0, (col("doc_id") * 3).cast("string"))       // long wins
+        .when(m === 1, concat(col("doc_id").cast("string"), lit(".5"))) // double wins
+        .when(m === 2, lit("yes"))                            // boolean literal wins
+        .when(m === 3, lit("N/A"))                            // nullValues literal
+        .otherwise(concat(lit("v"), col("doc_id").cast("string"))) // string fallback
+        .as("c1"),
+      when(pmod(col("doc_id"), lit(7)) === 3, lit("oops"))    // bad cell → WARN null
+        .otherwise(pmod(col("doc_id"), lit(100)).cast("string")).as("c2"))
+    Csv.write(derived, s"$dir/csv", Csv.CsvWriteOptions(header = false))
+    val raw = Csv.read(spark, s"$dir/csv", Csv.CsvReadOptions(header = false))
+    val lax = Coerce.CoerceOptions(strict = false)
+    val inferred = InferSchema.infer(raw, rowsToScan = 1 << 20, opts = lax)
+    val types = inferred.fields.map(_.dataType.simpleString)
+    val target = StructType(Seq(
+      StructField("doc_id_i", inferred.fields(0).dataType), // int, from inference
+      StructField("union_raw", StringType),
+      StructField("qual", IntegerType), // schema-directed; lax → bad cells null
+      StructField("extra_missing", LongType))) // no 4th input cell → typed null
+    val coerced = Coerce.framePositional(raw, target, lax)
+      .withColumn("u", Coerce.cellUnion(col("union_raw"),
+        Seq(LongType, DoubleType, BooleanType, StringType), lax))
+    coerced
+      .groupBy(pmod(col("doc_id_i"), lit(5)).cast("long").as("case_id"))
+      .agg(
+        count(lit(1)).as("cnt"),
+        sum(when(col("u").isNull, 1L).otherwise(0L)).as("union_nulls"),
+        sum(coalesce(length(col("u")).cast("long"), lit(0L))).as("union_len"),
+        sum(col("doc_id_i")).cast("long").as("sum_ids"),
+        sum(col("qual")).cast("long").as("sum_qual"),
+        sum(when(col("qual").isNull, 1L).otherwise(0L)).as("bad_cells"),
+        sum(when(col("extra_missing").isNull, 1L).otherwise(0L)).as("extra_nulls"))
+      .withColumn("t_c0", lit(types(0)))
+      .withColumn("t_c1", lit(types(1)))
+      .withColumn("t_c2", lit(types(2)))
+  }
+
   def inferredSchema(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-q-infer").toString

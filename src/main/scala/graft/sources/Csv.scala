@@ -121,7 +121,11 @@ object Csv {
     val cleaned = if (!opts.skipEmptyRows) df else {
       df.where(df.columns.map(c => col(c).isNotNull).reduce(_ || _))
     }
-    applyEmptyHeaderPolicy(cleaned, opts.onEmptyHeader)
+    // the empty-header policy is about header CELLS — with header=false
+    // every column is legitimately Spark-named _cN (positional), and
+    // applying DROP would delete the whole frame
+    if (opts.header) applyEmptyHeaderPolicy(cleaned, opts.onEmptyHeader)
+    else cleaned
   }
 
   /** empty/duplicate header cells: DROP the column or RENAME to col_N
