@@ -196,6 +196,36 @@ object Markdown {
     s = s.replaceAll("(?is)<code[^>]*>(.*?)</code>", "`$1`")
     s = s.replaceAll("(?is)<a\\s+[^>]*href=\"([^\"]*)\"[^>]*>(.*?)</a>", "[$2]($1)")
     s = s.replaceAll("(?is)<img\\s+[^>]*alt=\"([^\"]*)\"[^>]*src=\"([^\"]*)\"[^>]*/?>", "![$1]($2)")
+    // tables → GFM pipe tables (≙ flexmark html2md's table handling —
+    // reference HtmlToMarkdownTest.should_convert_html_table_to_markdown):
+    // first row (thead or not) becomes the header, then |---| separator
+    val tableRe = "(?is)<table[^>]*>(.*?)</table>".r
+    s = tableRe.replaceAllIn(s, m => {
+      val body = m.group(1)
+      val rows = "(?is)<tr[^>]*>(.*?)</tr>".r.findAllMatchIn(body).map { r =>
+        "(?is)<t[hd][^>]*>(.*?)</t[hd]>".r.findAllMatchIn(r.group(1))
+          .map(_.group(1).trim.replaceAll("\\s+", " ").replace("|", "\\|"))
+          .toList
+      }.filter(_.nonEmpty).toList
+      val md = rows match {
+        case Nil => ""
+        case header :: rest =>
+          val line = (cs: List[String]) => cs.mkString("| ", " | ", " |")
+          (line(header) :: header.map(_ => "---").mkString("|", "|", "|") ::
+            rest.map(line)).mkString("\n") + "\n\n"
+      }
+      java.util.regex.Matcher.quoteReplacement(md)
+    })
+    // definition lists → the `Term` / `: definition` pandoc/flexmark form
+    val dlRe = "(?is)<dl[^>]*>(.*?)</dl>".r
+    s = dlRe.replaceAllIn(s, m => {
+      val items = "(?is)<(dt|dd)[^>]*>(.*?)</\\1>".r.findAllMatchIn(m.group(1))
+        .map(x => (x.group(1).toLowerCase, x.group(2).trim)).map {
+          case ("dt", t) => s"$t\n"
+          case (_, d) => s": $d\n"
+        }.mkString
+      java.util.regex.Matcher.quoteReplacement(items + "\n")
+    })
     // ordered lists first: number the items 1..n within each <ol> scope
     val olRe = "(?is)<ol[^>]*>(.*?)</ol>".r
     s = olRe.replaceAllIn(s, m => {
@@ -218,8 +248,29 @@ object Markdown {
     s = s.replaceAll("(?is)<p[^>]*>(.*?)</p>", "$1\n\n")
     s = s.replaceAll("(?is)<br\\s*/?>", "\n")
     s = s.replaceAll("(?s)<[^>]+>", "") // remaining tags (ignoreTags analog)
-    s = s.replace("&amp;", "&").replace("&lt;", "<").replace("&gt;", ">")
+    s = decodeEntities(s)
     s.replaceAll("\\n{3,}", "\n\n").trim
+  }
+
+  /** HTML entity decode, named core set + numeric (&#NN; / &#xHH;).
+    * `&amp;` decodes LAST: `&amp;lt;` is the literal text "&lt;", not "<"
+    * — the old amp-first ordering double-decoded it.
+    */
+  private def decodeEntities(s0: String): String = {
+    var s = s0
+    s = s.replace("&lt;", "<").replace("&gt;", ">")
+      .replace("&quot;", "\"").replace("&apos;", "'").replace("&#39;", "'")
+      .replace("&nbsp;", " ")
+    s = "&#(x?)([0-9a-fA-F]+);".r.replaceAllIn(s, m => {
+      val cp = try {
+        if (m.group(1).isEmpty) Integer.parseInt(m.group(2), 10)
+        else Integer.parseInt(m.group(2), 16)
+      } catch { case _: NumberFormatException => -1 }
+      if (cp >= 0 && Character.isValidCodePoint(cp))
+        java.util.regex.Matcher.quoteReplacement(new String(Character.toChars(cp)))
+      else java.util.regex.Matcher.quoteReplacement(m.matched)
+    })
+    s.replace("&amp;", "&")
   }
 
   // ---- Spark wrappers: whole-doc narrow maps ----

@@ -84,6 +84,37 @@ class MarkdownProtobufSpec extends AnyFunSuite {
     assert(Markdown.toHtml("- - -") == "<hr/>", Markdown.toHtml("- - -"))
   }
 
+  test("html tables convert to GFM pipe tables") {
+    val md = Markdown.htmlToMarkdown(
+      """<table><thead><tr><th>Name</th><th>Age</th></tr></thead>
+        |<tbody><tr><td>Alice</td><td>30</td></tr>
+        |<tr><td>Bob</td><td>25</td></tr></tbody></table>""".stripMargin)
+    assert(md.contains("| Name | Age |"), md)
+    assert(md.contains("|---|---|"), md)
+    assert(md.contains("| Alice | 30 |") && md.contains("| Bob | 25 |"), md)
+    // cells with markup and literal pipes stay one row
+    val md2 = Markdown.htmlToMarkdown(
+      "<table><tr><th>k</th></tr><tr><td><strong>a</strong> x|y</td></tr></table>")
+    assert(md2.contains("| **a** x\\|y |"), md2)
+  }
+
+  test("definition lists convert to the term/colon form") {
+    val md = Markdown.htmlToMarkdown(
+      "<dl><dt>Spark</dt><dd>an engine</dd><dt>Graft</dt><dd>a codec</dd></dl>")
+    assert(md.contains("Spark\n: an engine"), md)
+    assert(md.contains("Graft\n: a codec"), md)
+  }
+
+  test("entity decoding: named, numeric, and amp-last ordering") {
+    val md = Markdown.htmlToMarkdown(
+      "<p>&quot;q&quot; &apos;a&apos; &#39;b&#39; x&nbsp;y &#65;&#x42; &amp;lt; &amp; &#xZZ;</p>")
+    assert(md.contains("\"q\" 'a' 'b' x y AB"), md)
+    // &amp;lt; is the literal text "&lt;" — amp decodes LAST, not first
+    assert(md.contains("&lt;"), md)
+    assert(!md.contains("&amp;"), md)
+    assert(md.contains("&#xZZ;"), md) // malformed numeric entity kept as-is
+  }
+
   test("html ordered lists and blockquotes invert to markdown") {
     val md = Markdown.htmlToMarkdown(
       "<ol><li>first</li><li>second</li></ol>" +
