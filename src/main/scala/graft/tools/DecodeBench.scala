@@ -41,17 +41,25 @@ object DecodeBench {
       cols.map(c => org.apache.spark.sql.functions.length(col(c)).cast("long"))
         .reduce(_ + _).as("b")).agg(sum(col("b"))).first().getLong(0)
     graft.engine.Decoder.decode(cached, cols).count() // warm
-    val secs = (1 to 4).map { _ =>
+    // probe rep adjacent to each decode rep; median paired ratio (same
+    // discipline as Bench's decode leg — the window shifts mid-session)
+    val probe = new graft.Bench.DecodeProbe(cores)
+    val pairs = (1 to 4).map { _ =>
+      val p = probe.gbpsOnce()
       val t0 = System.nanoTime()
       graft.engine.Decoder.decode(cached, cols).count()
-      (System.nanoTime() - t0) / 1e9
+      ((System.nanoTime() - t0) / 1e9, p)
     }
-    val gbps = rawBytes / secs.min / 1e9
-    val probe = graft.Bench.decodeProbeGbps(cores)
+    val gbps = rawBytes / pairs.map(_._1).min / 1e9
+    val norm = {
+      val rs = pairs.map { case (d, p) => (rawBytes / d / 1e9) / p }.sorted
+      (rs(1) + rs(2)) / 2
+    }
     println(f"[decode-bench] rows=$rows raw=${rawBytes / 1e9}%.3f GB " +
-      f"reps=${secs.map(s => f"$s%.2f").mkString(",")} s " +
-      f"decode=$gbps%.3f GB/s probe=$probe%.3f GB/s " +
-      f"normalized=${gbps / probe}%.3f")
+      f"reps=${pairs.map(x => f"${x._1}%.2f").mkString(",")} s " +
+      f"probes=${pairs.map(x => f"${x._2}%.2f").mkString(",")} GB/s " +
+      f"decode=$gbps%.3f GB/s probe=${pairs.map(_._2).max}%.3f GB/s " +
+      f"normalized=$norm%.3f")
     spark.stop()
   }
 }
