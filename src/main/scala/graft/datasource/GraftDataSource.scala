@@ -109,6 +109,29 @@ object GraftDataSource {
     }
     StructType(cols.toSeq.map(StructField(_, StringType, nullable = true)))
   }
+
+  /** Append-time column guard: a store's files must all carry the SAME
+    * column set — the reader derives the schema from one partition
+    * directory and assembles each block group by column name, so a file
+    * with extra/missing columns would silently misalign rows or surface a
+    * phantom schema. Called driver-side BEFORE any task encodes a byte.
+    * No-op when the path holds no store yet (fresh write).
+    */
+  def checkAppendColumns(path: String, incoming: Array[String]): Unit = {
+    val conf = activeHadoopConf()
+    val dir = blocksDir(path)
+    val fs = dir.getFileSystem(conf)
+    if (!fs.exists(dir)) return
+    if (!fs.listStatus(dir).exists(_.getPath.getName.startsWith("partId="))) return
+    val existing = schemaFor(path).fieldNames.toSet
+    val in = incoming.toSet
+    if (existing != in)
+      throw new IllegalStateException(
+        s"graft append column mismatch at $path: store has " +
+          s"[${existing.toSeq.sorted.mkString(",")}] but the write carries " +
+          s"[${in.toSeq.sorted.mkString(",")}] — appended files must have the " +
+          "store's exact column set (use overwrite mode to replace the store)")
+  }
 }
 
 class GraftTable(path: String, tableSchema: StructType) extends Table

@@ -55,13 +55,18 @@ class GraftWriteBuilder(path: String, info: LogicalWriteInfo)
     override def requiredNumPartitions(): Int =
       Option(info.options.get("numPartitions")).map(_.toInt).getOrElse(0)
 
-    override def toBatch: BatchWrite =
+    override def toBatch: BatchWrite = {
+      // appends must carry the store's exact column set (overwrite replaces
+      // the store, so any column set is fine there)
+      if (!doTruncate) GraftDataSource.checkAppendColumns(path, schema.fieldNames)
       new GraftBatchWrite(path, schema, doTruncate, writeId, sortKeys)
+    }
 
     override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
       if (doTruncate)
         throw new UnsupportedOperationException(
           "graft streaming sink supports append output mode only")
+      GraftDataSource.checkAppendColumns(path, schema.fieldNames)
       new GraftStreamingWrite(path, schema, info.queryId())
     }
   }

@@ -592,4 +592,44 @@ class GraftDataSourceSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("partitioning must be pinned"))
   }
+
+  test("append with a different column set refuses before any task runs") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-appendcols").toString
+    Seq(("a", "b", "c"), ("d", "e", "f")).toDF("k", "v", "w")
+      .write.format("graft").mode("overwrite").option("sortKeys", "k").save(dir)
+
+    // missing column → loud refusal naming both sets
+    val e1 = intercept[Exception] {
+      Seq(("g", "h")).toDF("k", "v")
+        .write.format("graft").mode("append").option("sortKeys", "k").save(dir)
+    }
+    assert(e1.getMessage.contains("column mismatch") ||
+      Option(e1.getCause).exists(_.getMessage.contains("column mismatch")),
+      s"got: ${e1.getMessage}")
+
+    // extra column → same refusal
+    val e2 = intercept[Exception] {
+      Seq(("g", "h", "i", "j")).toDF("k", "v", "w", "x")
+        .write.format("graft").mode("append").option("sortKeys", "k").save(dir)
+    }
+    assert(e2.getMessage.contains("column mismatch") ||
+      Option(e2.getCause).exists(_.getMessage.contains("column mismatch")),
+      s"got: ${e2.getMessage}")
+
+    // refused writes published nothing
+    assert(spark.read.format("graft").load(dir).count() == 2)
+
+    // the SAME column set (any field order) appends fine
+    Seq(("x", "g", "h")).toDF("w", "k", "v").select("k", "v", "w")
+      .write.format("graft").mode("append").option("sortKeys", "k").save(dir)
+    assert(spark.read.format("graft").load(dir).count() == 3)
+
+    // overwrite replaces the store, so a new column set is legitimate
+    Seq(("1", "2")).toDF("k", "z")
+      .write.format("graft").mode("overwrite").option("sortKeys", "k").save(dir)
+    val replaced = spark.read.format("graft").load(dir)
+    assert(replaced.schema.fieldNames.sorted.toSeq == Seq("k", "z"))
+    assert(replaced.count() == 1)
+  }
 }
