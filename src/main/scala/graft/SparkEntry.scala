@@ -55,6 +55,7 @@ object SparkEntry {
     "q_embed_lsh_topk" -> (EmbedQueries.lshTopK _),
     "q_embed_lsh_buckets" -> (EmbedQueries.lshBuckets _),
     "q_embed_ivf_topk" -> (EmbedQueries.ivfTopK _),
+    "q_embed_neardup" -> (EmbedQueries.nearDupPairs _),
     // format serde round-trips (reference task surface)
     "q_csv_roundtrip" -> (FormatQueries.csvRoundtripAgg _),
     "q_yaml_roundtrip" -> (FormatQueries.yamlRoundtripAgg _),
@@ -163,6 +164,7 @@ object SparkEntry {
     "q_embed_lsh_topk" -> OracleSql.embedLshTopK(),
     "q_embed_lsh_buckets" -> OracleSql.embedLshBuckets(),
     "q_embed_ivf_topk" -> OracleSql.embedIvfTopK,
+    "q_embed_neardup" -> OracleSql.embedNearDup(),
     "q_csv_roundtrip" ->
       """SELECT lang, count(*) AS cnt, CAST(sum(n_chars) AS BIGINT) AS total_chars
         |FROM documents GROUP BY lang""".stripMargin,

@@ -256,6 +256,46 @@ object EmbedQueries {
     rerankTopK(candidates, base)
   }
 
+  /** global pairs reported by the near-dup query */
+  val NearDupTopN = 50
+
+  /** Embedding-cosine near-duplicate detection: candidate pairs = pairs
+    * sharing any capped LSH bucket (id_a < id_b so each pair appears
+    * once), exact cosine re-rank, global top-NearDupTopN. The candidate
+    * set is bounded by bands × buckets × cap² at ANY corpus size (bits
+    * scale with n), and the global top-N is a TakeOrdered, not a full
+    * sort — the rank window runs AFTER the limit, over ≤ NearDupTopN
+    * rows. The dedup-pipeline complement of lshTopK's per-query search.
+    */
+  def nearDupPairs(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = load(spark, sfDir, "embeddings").select(col("vec_id"), col("embedding"))
+    val n = base.count()
+    val bands = bandSignatures(base, lshBitsFor(n))
+    val okBuckets = bands.groupBy(col("band"), col("sig"))
+      .agg(count(lit(1)).as("bsz"))
+      .where(col("bsz") <= LshBucketCap && col("bsz") >= 2)
+      .select("band", "sig")
+    val inBuckets = bands.join(okBuckets, Seq("band", "sig"))
+    val pairs = inBuckets.as("x").join(
+        inBuckets.as("y"), col("x.band") === col("y.band") &&
+          col("x.sig") === col("y.sig") && col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("id_a"), col("y.vec_id").as("id_b"))
+      .distinct()
+    val vecs = withNorm(base)
+    val scored = pairs
+      .join(vecs.as("va"), col("id_a") === col("va.vec_id"))
+      .join(vecs.as("vb"), col("id_b") === col("vb.vec_id"))
+      .select(col("id_a"), col("id_b"), cosine("va", "vb").as("cos"))
+    val top = scored
+      .orderBy(col("cos").desc, col("id_a"), col("id_b")).limit(NearDupTopN)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("cos").desc, col("id_a"), col("id_b"))
+    top.withColumn("rnk", row_number().over(w).cast("long"))
+      .select(col("id_a"), col("id_b"), col("rnk"),
+        round(col("cos") * 1000000).cast("long").as("cos_r6"))
+      .orderBy("rnk")
+  }
+
   /** per-band LSH bucket histogram (bucket-size distribution — skew
     * visibility across all LshBands tables)
     */

@@ -318,6 +318,34 @@ object OracleSql {
         |  SELECT b, s, count(*) AS cnt FROM sig GROUP BY b, s) t
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** q_embed_neardup: LSH-bucketed candidate PAIRS (id_a < id_b), exact
+    * cosine, global top-NearDupTopN by (cos desc, id_a, id_b) — validated
+    * against the Python mirror in tools/oracle_proto6.py
+    */
+  def embedNearDup(maxBits: Int = 24): String =
+    embedLshCommon(maxBits) +
+      s""",
+         |ok AS (SELECT b, s FROM sig GROUP BY b, s
+         |       HAVING count(*) >= 2 AND count(*) <= ${EmbedQueries.LshBucketCap}),
+         |inb AS (SELECT vec_id, b, s FROM sig JOIN ok USING (b, s)),
+         |cand AS (
+         |  SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+         |  FROM inb x JOIN inb y USING (b, s) WHERE x.vec_id < y.vec_id),
+         |nrm AS (SELECT vec_id, emb,
+         |          sqrt(list_sum(list_transform(emb, x -> x * x))) AS nm FROM e),
+         |scored AS (
+         |  SELECT id_a, id_b,
+         |    list_sum(list_transform(range(1, 65), j -> a.emb[j] * b2.emb[j]))
+         |      / (a.nm * b2.nm) AS cos
+         |  FROM cand JOIN nrm a ON a.vec_id = id_a
+         |  JOIN nrm b2 ON b2.vec_id = id_b),
+         |r AS (SELECT id_a, id_b,
+         |        CAST(row_number() OVER (ORDER BY cos DESC, id_a, id_b) AS BIGINT) AS rnk,
+         |        cos
+         |      FROM scored)
+         |SELECT id_a, id_b, rnk, CAST(round(cos * 1000000) AS BIGINT) AS cos_r6
+         |FROM r WHERE rnk <= ${EmbedQueries.NearDupTopN} ORDER BY rnk""".stripMargin
+
   /** q_embed_lsh_topk: bucket-capped candidates + exact cosine re-rank */
   def embedLshTopK(maxBits: Int = 24): String =
     embedLshCommon(maxBits) +

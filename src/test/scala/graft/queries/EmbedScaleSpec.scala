@@ -61,6 +61,40 @@ class EmbedScaleSpec extends AnyFunSuite {
     assert(hits >= 8, s"planted near-dups found as top-1 for only $hits/10")
   }
 
+  test("near-dup pairs surface the planted duplicates at the top ranks") {
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    val n = 2000
+    val dir = java.nio.file.Files.createTempDirectory("graft-neardup").toString
+    // same planted-copy construction as the IVF test: (q, 1000+q) are
+    // true near-duplicates (cos ≈ 0.9999) in a sea of random vectors
+    // (background candidate cosines ≈ 0.5 at best)
+    spark.range(0, n, 1, 8).map { i =>
+      val src: Long = if (i >= 1000 && i < 1010) i - 1000 else i.toLong
+      val rng = new java.util.SplittableRandom(7L * src + 13)
+      val base = Array.fill(64)((rng.nextDouble() * 2 - 1).toFloat)
+      val emb = if (src == i) base else {
+        val jit = new java.util.SplittableRandom(99L * i)
+        base.map(x => x + (jit.nextDouble() * 0.02 - 0.01).toFloat)
+      }
+      (i, emb, (i % 10).toInt)
+    }.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+
+    val rows = EmbedQueries.nearDupPairs(spark, dir).collect()
+    assert(rows.length == EmbedQueries.NearDupTopN)
+    // every planted pair that shares ANY LSH bucket must outrank all
+    // random pairs; a 1% perturbation flips each plane bit rarely, so
+    // expect most of the 10 planted pairs in the top 10 rows
+    val topTen = rows.take(10).map(r => (r.getLong(0), r.getLong(1))).toSet
+    val planted = (0L until 10L).count(q => topTen.contains((q, q + 1000)))
+    assert(planted >= 8, s"only $planted/10 planted pairs in the top 10: $topTen")
+    // ranks are dense 1..N and cosines non-increasing
+    assert(rows.map(_.getLong(2)).toSeq == (1L to EmbedQueries.NearDupTopN).toSeq)
+    val cs = rows.map(_.getLong(3)).toSeq
+    assert(cs == cs.sorted.reverse, "cos_r6 must be non-increasing by rank")
+  }
+
   test("mean bucket size stays near the target as the corpus grows 16x") {
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
