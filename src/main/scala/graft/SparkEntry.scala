@@ -194,14 +194,16 @@ object SparkEntry {
         |ORDER BY col_name""".stripMargin,
     // mirrors FormatQueries.coerceUnion: the derived mixed-type cells are a
     // pure function of doc_id, so the union/WARN outcomes replay in SQL —
-    // u: m=0 long "3d", m=1 double "d.5", m=2 boolean → 'true', m=3 null
-    // literal, m=4 string 'v'||d; qual: null (WARN) iff doc_id%7=3
+    // u: m=0 long "3d", m=1 double "(d%1e6).5" (bounded so Spark's double
+    // rendering stays plain-decimal at any corpus), m=2 boolean → 'true',
+    // m=3 null literal, m=4 string 'v'||d; qual: null (WARN) iff doc_id%7=3;
+    // t_c0 computed from the id range (int vs bigint inference at scale)
     "q_coerce_union" ->
       """WITH d AS (
         |  SELECT doc_id, doc_id % 5 AS m,
         |    CASE doc_id % 5
         |      WHEN 0 THEN CAST(doc_id * 3 AS VARCHAR)
-        |      WHEN 1 THEN CAST(doc_id AS VARCHAR) || '.5'
+        |      WHEN 1 THEN CAST(doc_id % 1000000 AS VARCHAR) || '.5'
         |      WHEN 2 THEN 'true'
         |      WHEN 3 THEN NULL
         |      ELSE 'v' || CAST(doc_id AS VARCHAR) END AS u,
@@ -214,7 +216,9 @@ object SparkEntry {
         |  CAST(sum(qual) AS BIGINT) AS sum_qual,
         |  CAST(sum(CASE WHEN qual IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS bad_cells,
         |  count(*) AS extra_nulls,
-        |  'int' AS t_c0, 'string' AS t_c1, 'string' AS t_c2
+        |  (SELECT CASE WHEN max(doc_id) <= 2147483647 THEN 'int'
+        |     ELSE 'bigint' END FROM documents) AS t_c0,
+        |  'string' AS t_c1, 'string' AS t_c2
         |FROM d GROUP BY m""".stripMargin
   )
 }

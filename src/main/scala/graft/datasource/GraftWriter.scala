@@ -120,14 +120,24 @@ final class GraftStreamingWrite(path: String, schema: StructType, queryId: Strin
       case GraftCommit(pid, rows, file) if rows > 0 && file != null => pid
     }.sorted
     val marker = new Path(blocks, s"_epoch-q$qTag-e$epochId.json")
-    if (fs.exists(marker)) {
+    val isReplay = fs.exists(marker)
+    if (isReplay) {
+      // an unreadable marker must NOT decay into "recorded nothing": that
+      // compares unequal to any non-empty set and mis-blames the sink
+      // partitioning — surface the real problem instead
       val recorded = try {
         val in = fs.open(marker)
         val root = try new com.fasterxml.jackson.databind.ObjectMapper().readTree(in)
           finally in.close()
         val arr = root.get("partitions")
         (0 until arr.size()).map(arr.get(_).asInt()).toSeq
-      } catch { case _: Exception => Nil }
+      } catch {
+        case e: Exception =>
+          throw new IllegalStateException(
+            s"unreadable epoch marker $marker — cannot decide whether epoch " +
+              s"$epochId is a replay; refusing to publish (inspect or remove " +
+              "the marker)", e)
+      }
       if (recorded != expected.toSeq)
         throw new IllegalStateException(
           s"replayed epoch $epochId of query $qTag plans partitions " +
@@ -155,6 +165,17 @@ final class GraftStreamingWrite(path: String, schema: StructType, queryId: Strin
           // partition — same partition set (checked above), same rows
           // re-encoded
           fs.delete(src, false)
+        } else if (isReplay) {
+          // the marker proves this epoch WAS published, but its file is
+          // gone — the store was compacted or rewritten since (GraftCompact
+          // merges epoch files into part-compact-*). Publishing the staged
+          // copy would duplicate every row already inside the merged file.
+          throw new IllegalStateException(
+            s"replayed epoch $epochId of query $qTag: its published file " +
+              s"${dest.getName} no longer exists (store compacted or " +
+              "rewritten since the original attempt) — publishing again " +
+              "would duplicate its rows; restart the query from a fresh " +
+              "checkpoint")
         } else {
           fs.mkdirs(dest.getParent)
           if (!fs.rename(src, dest))
@@ -206,9 +227,11 @@ class GraftBatchWrite(path: String, schema: StructType, truncate: Boolean,
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val blocks = new Path(path, "blocks")
     val fs = blocks.getFileSystem(hadoopConf)
-    // refuse to append into a store written under a different block layout;
-    // stamp the version before any file is published
-    graft.engine.StoreMeta.checkFormat(hadoopConf, blocks.toString)
+    // refuse to APPEND into a store written under a different block layout;
+    // an overwrite REPLACES the store, so a pre-v2/wrong-version store is a
+    // legitimate target there (refusing would block the documented remedy
+    // "re-encode the store"). Stamp our version before any file is published.
+    if (!truncate) graft.engine.StoreMeta.checkFormat(hadoopConf, blocks.toString)
     graft.engine.StoreMeta.writeFormatMarker(hadoopConf, blocks.toString)
     // a DSv2 write makes any Checkpoint manifest stale (it describes blocks
     // this write replaces or extends) — drop it so stats/resume never trust
@@ -221,9 +244,13 @@ class GraftBatchWrite(path: String, schema: StructType, truncate: Boolean,
     graft.engine.StoreMeta.clearSortKeys(hadoopConf, blocks.toString)
     if (truncate && fs.exists(blocks)) {
       // deferred truncate: old partitions die only once every new task has
-      // successfully committed (staging dir is spared — it holds the data)
+      // successfully committed (staging dir is spared — it holds the data).
+      // Streaming epoch markers describe the REPLACED data — stale markers
+      // would make a later replay of a recycled (query, epoch) pair compare
+      // against files that no longer exist, so they die with it.
       fs.listStatus(blocks)
-        .filter(_.getPath.getName.startsWith("partId="))
+        .filter(st => st.getPath.getName.startsWith("partId=") ||
+          st.getPath.getName.startsWith("_epoch-"))
         .foreach(st => fs.delete(st.getPath, true))
     }
     messages.foreach {

@@ -200,9 +200,12 @@ object MediaCodecs {
   final case class Y4mHeader(w: Int, h: Int, fpsNum: Int, fpsDen: Int,
       colorspace: String, headerLen: Int) {
     def frameLen: Int = colorspace match {
+      // chroma planes use CEIL(w/2)/CEIL(h/2) — `w*h*3/2` is wrong for odd
+      // dimensions (legal in Y4M) and would silently misalign frame offsets
       case "C444" => 3 * w * h
-      case "C420" | "C420jpeg" | "C420paldv" | "C420mpeg2" => w * h * 3 / 2
-      case "C422" => 2 * w * h
+      case "C420" | "C420jpeg" | "C420paldv" | "C420mpeg2" =>
+        w * h + 2 * (((w + 1) / 2) * ((h + 1) / 2))
+      case "C422" => w * h + 2 * (((w + 1) / 2) * h)
       case _ => -1
     }
   }

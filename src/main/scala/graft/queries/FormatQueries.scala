@@ -193,7 +193,12 @@ object FormatQueries {
     val derived = docs.select(
       col("doc_id").cast("string").as("c0"),
       when(m === 0, (col("doc_id") * 3).cast("string"))       // long wins
-        .when(m === 1, concat(col("doc_id").cast("string"), lit(".5"))) // double wins
+        // bounded below 1e6: Spark renders doubles >= 1e7 in scientific
+        // notation ("1.00000005E7"), which would diverge from the oracle's
+        // decimal text at larger corpora — the bound keeps the rendering
+        // plain-decimal at ANY scale
+        .when(m === 1, concat(pmod(col("doc_id"), lit(1000000)).cast("string"),
+          lit(".5"))) // double wins
         .when(m === 2, lit("yes"))                            // boolean literal wins
         .when(m === 3, lit("N/A"))                            // nullValues literal
         .otherwise(concat(lit("v"), col("doc_id").cast("string"))) // string fallback

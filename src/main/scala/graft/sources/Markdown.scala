@@ -266,7 +266,13 @@ object Markdown {
         if (m.group(1).isEmpty) Integer.parseInt(m.group(2), 10)
         else Integer.parseInt(m.group(2), 16)
       } catch { case _: NumberFormatException => -1 }
-      if (cp >= 0 && Character.isValidCodePoint(cp))
+      // surrogate code points are "valid" to isValidCodePoint but toChars
+      // would emit an UNPAIRED surrogate — not UTF-8-encodable, so the
+      // transform output would stop being a pure function of the input
+      // bytes. The HTML spec decodes them to U+FFFD; do the same.
+      if (cp >= 0xD800 && cp <= 0xDFFF)
+        java.util.regex.Matcher.quoteReplacement("�")
+      else if (cp >= 0 && Character.isValidCodePoint(cp))
         java.util.regex.Matcher.quoteReplacement(new String(Character.toChars(cp)))
       else java.util.regex.Matcher.quoteReplacement(m.matched)
     })

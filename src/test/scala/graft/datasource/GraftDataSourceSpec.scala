@@ -593,6 +593,63 @@ class GraftDataSourceSpec extends AnyFunSuite {
     assert(e.getMessage.contains("partitioning must be pinned"))
   }
 
+  test("replayed epoch whose published file vanished (compaction) refuses") {
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files.createTempDirectory("graft-epoch-gone").toString
+    val schema = StructType(Seq(StructField("k", StringType)))
+    val w = new GraftStreamingWrite(dir, schema, "query-y")
+    def staged(name: String): String = {
+      val p = java.nio.file.Paths.get(dir, "blocks", "_stage-test", name)
+      java.nio.file.Files.createDirectories(p.getParent)
+      java.nio.file.Files.write(p, Array[Byte](1, 2, 3))
+      p.toString
+    }
+    w.commit(3L, Array(GraftCommit(0, 5, staged("a.parquet"))))
+    // simulate GraftCompact merging the epoch file away
+    val qTag = Integer.toHexString("query-y".hashCode)
+    val dest = java.nio.file.Paths.get(dir, "blocks", "partId=0",
+      s"part-q$qTag-e3-p0.parquet")
+    assert(java.nio.file.Files.deleteIfExists(dest))
+    // replay: marker says published, file is gone -> publishing the staged
+    // copy would duplicate the rows inside the merged file
+    val e = intercept[IllegalStateException] {
+      w.commit(3L, Array(GraftCommit(0, 5, staged("a2.parquet"))))
+    }
+    assert(e.getMessage.contains("no longer exists"), e.getMessage)
+  }
+
+  test("overwrite replaces a wrong-version store and sweeps epoch markers") {
+    import spark.implicits._
+    import org.apache.hadoop.fs.Path
+    val dir = java.nio.file.Files.createTempDirectory("graft-overwrite-old").toString
+    Seq(("a", "1")).toDF("k", "v")
+      .write.format("graft").mode("overwrite").option("sortKeys", "k").save(dir)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val bdir = s"$dir/blocks"
+    val fs = new Path(bdir).getFileSystem(conf)
+    // age the store: wrong format version + a stale epoch marker
+    val marker = new Path(bdir, graft.engine.StoreMeta.FormatFile)
+    val out = fs.create(marker, true)
+    out.write("""{"formatVersion":1}""".getBytes("UTF-8")); out.close()
+    val stale = new Path(bdir, "_epoch-qdead-e9.json")
+    val out2 = fs.create(stale, true)
+    out2.write("""{"partitions":[0]}""".getBytes("UTF-8")); out2.close()
+    // append into the old-format store still refuses...
+    val eApp = intercept[Exception] {
+      Seq(("b", "2")).toDF("k", "v")
+        .write.format("graft").mode("append").option("sortKeys", "k").save(dir)
+    }
+    def msgs(e: Throwable): Seq[String] =
+      Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+        .map(t => Option(t.getMessage).getOrElse("")).toSeq
+    assert(msgs(eApp).exists(_.contains("format version")), eApp.getMessage)
+    // ...but overwrite REPLACES it: no refusal, v2 restamped, marker swept
+    Seq(("c", "3")).toDF("k", "v")
+      .write.format("graft").mode("overwrite").option("sortKeys", "k").save(dir)
+    assert(spark.read.format("graft").load(dir).count() == 1)
+    assert(!fs.exists(stale), "stale epoch marker must die with the old store")
+  }
+
   test("append with a different column set refuses before any task runs") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-appendcols").toString

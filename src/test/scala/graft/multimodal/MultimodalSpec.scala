@@ -137,6 +137,19 @@ class MultimodalSpec extends AnyFunSuite {
     assert(MediaCodecs.y4mFrameOffsets(trunc, h420).length == 1)
     // non-Y4M payloads refuse cleanly
     assert(MediaCodecs.decodeY4mHeader("not a video".getBytes).isEmpty)
+    // odd dimensions: chroma planes are CEIL(w/2) x CEIL(h/2) — W5 H4 C422
+    // is Y=20 + 2*(3*4)=24 -> 44 (NOT 2*w*h=40), W5 H3 C420 is
+    // 15 + 2*(3*2)=12 -> 27 (NOT 5*3*3/2=22)
+    val Some(h422) = MediaCodecs.decodeY4mHeader(
+      "YUV4MPEG2 W5 H4 C422\nFRAME\n".getBytes("US-ASCII"))
+    assert(h422.frameLen == 44)
+    val Some(h420odd) = MediaCodecs.decodeY4mHeader(
+      "YUV4MPEG2 W5 H3 C420\nFRAME\n".getBytes("US-ASCII"))
+    assert(h420odd.frameLen == 27)
+    // and the offsets honor the corrected size: two full odd-dim frames
+    val odd = ("YUV4MPEG2 W5 H4 C422\n" +
+      "FRAME\n" + "a" * 44 + "FRAME\n" + "b" * 44).getBytes("US-ASCII")
+    assert(MediaCodecs.y4mFrameOffsets(odd, h422).length == 2)
   }
 
   test("feature stats aggregates per kind") {

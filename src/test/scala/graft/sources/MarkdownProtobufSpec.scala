@@ -113,6 +113,12 @@ class MarkdownProtobufSpec extends AnyFunSuite {
     assert(md.contains("&lt;"), md)
     assert(!md.contains("&amp;"), md)
     assert(md.contains("&#xZZ;"), md) // malformed numeric entity kept as-is
+    // surrogate code points are not UTF-8-encodable; HTML decodes them to
+    // U+FFFD — an unpaired surrogate would make getBytes("UTF-8") lossy
+    val sur = Markdown.htmlToMarkdown("<p>a&#xD800;b &#55296; c&#x10FFFF;</p>")
+    assert(sur.contains("a�b �"), sur)
+    assert(sur.contains("c" + new String(Character.toChars(0x10FFFF))), sur)
+    assert(new String(sur.getBytes("UTF-8"), "UTF-8") == sur, "round-trippable UTF-8")
   }
 
   test("html ordered lists and blockquotes invert to markdown") {
