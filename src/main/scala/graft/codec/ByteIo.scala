@@ -85,3 +85,19 @@ final class ByteReader(val buf: Array[Byte], private var pos: Int = 0) {
     (v >>> 1) ^ -(v & 1L)
   }
 }
+
+/** Byte-array hash key: content hashCode/equals for HashMap/HashSet use
+  * (raw arrays hash by identity). One shared implementation — DictCodec
+  * interning, FSST training counts, and BlockStats NDV all key on it.
+  * `idx` is scratch space for interning callers (DictCodec); set/count
+  * callers leave it at -1.
+  */
+private[graft] final class ByteKey(val bytes: Array[Byte]) {
+  var idx: Int = -1
+  private val h = Arrays.hashCode(bytes)
+  override def hashCode: Int = h
+  override def equals(o: Any): Boolean = o match {
+    case k: ByteKey => Arrays.equals(bytes, k.bytes)
+    case _ => false
+  }
+}

@@ -100,32 +100,22 @@ object DictCodec extends Codec {
   private[codec] val unsignedLex: java.util.Comparator[Array[Byte]] =
     (a: Array[Byte], b: Array[Byte]) => java.util.Arrays.compareUnsigned(a, b)
 
-  private final class Key(val bytes: Array[Byte]) {
-    var idx: Int = -1
-    private val h = java.util.Arrays.hashCode(bytes)
-    override def hashCode: Int = h
-    override def equals(o: Any): Boolean = o match {
-      case k: Key => java.util.Arrays.equals(bytes, k.bytes)
-      case _ => false
-    }
-  }
-
   /** sorted-dict construction shared with DictRleCodec:
     * @return (meta bytes = varint n + entries, dict size, per-value index)
     */
   private[codec] def buildDict(values: Array[Array[Byte]]): (Array[Byte], Int, Array[Long]) = {
     // O(1) distinct via hashing, then one sort of the (small) dictionary
-    val seen = new java.util.HashMap[Key, Key]()
-    val keys = new Array[Key](values.length) // per-value interned key
+    val seen = new java.util.HashMap[ByteKey, ByteKey]()
+    val keys = new Array[ByteKey](values.length) // per-value interned key
     var i = 0
     while (i < values.length) {
-      val probe = new Key(values(i))
+      val probe = new ByteKey(values(i))
       val existing = seen.putIfAbsent(probe, probe)
       keys(i) = if (existing == null) probe else existing
       i += 1
     }
-    val dictKeys = seen.keySet().toArray(new Array[Key](0))
-    java.util.Arrays.sort(dictKeys, (a: Key, b: Key) => unsignedLex.compare(a.bytes, b.bytes))
+    val dictKeys = seen.keySet().toArray(new Array[ByteKey](0))
+    java.util.Arrays.sort(dictKeys, (a: ByteKey, b: ByteKey) => unsignedLex.compare(a.bytes, b.bytes))
     val dict = new Array[Array[Byte]](dictKeys.length)
     var d = 0
     while (d < dictKeys.length) { dictKeys(d).idx = d; dict(d) = dictKeys(d).bytes; d += 1 }

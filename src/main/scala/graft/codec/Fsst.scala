@@ -31,15 +31,6 @@ object Fsst extends Codec {
 
   // ---- training ----------------------------------------------------------
 
-  private final class BKey(val bytes: Array[Byte]) {
-    private val h = Arrays.hashCode(bytes)
-    override def hashCode: Int = h
-    override def equals(o: Any): Boolean = o match {
-      case k: BKey => Arrays.equals(bytes, k.bytes)
-      case _ => false
-    }
-  }
-
   private val LE_LONG = java.lang.invoke.MethodHandles.byteArrayViewVarHandle(
     classOf[Array[Long]], java.nio.ByteOrder.LITTLE_ENDIAN)
 
@@ -82,7 +73,7 @@ object Fsst extends Codec {
     // direct 256-entry code table. Hot buckets shrink from "all symbols
     // sharing one byte" to "all symbols sharing two", typically 1–2 entries.
     //
-    // Storage is FLAT: a 65536-entry int index (offset<<4 | count, in
+    // Storage is FLAT: a 65536-entry int index (offset<<9 | count, in
     // triplets) into one shared ≤6 KiB triplet array — ≤255 symbols × 3
     // longs stays L1-resident, vs. a 512 KiB array of pointers to scattered
     // small arrays whose dependent loads miss cache on every hot position.
@@ -223,9 +214,9 @@ object Fsst extends Codec {
     var table = new Table(Array.empty)
     var gen = 0
     while (gen < Generations) {
-      val cnt = new java.util.HashMap[BKey, Array[Long]]() // key → (count, len)
+      val cnt = new java.util.HashMap[ByteKey, Array[Long]]() // key → (count, len)
       def bump(b: Array[Byte]): Unit = {
-        val k = new BKey(b)
+        val k = new ByteKey(b)
         val cell = cnt.get(k)
         if (cell == null) cnt.put(k, Array(1L, b.length.toLong)) else cell(0) += 1
       }

@@ -83,44 +83,62 @@ object Checkpoint {
     StoreMeta.checkFormat(spark.sparkContext.hadoopConfiguration, blocksDir(outDir))
     StoreMeta.writeFormatMarker(spark.sparkContext.hadoopConfiguration, blocksDir(outDir))
 
-    val partitioned = Encoder.partitionInput(df, cols, sortKeys, cfg, Some(skew))
-    val blocks = Encoder.encodePartitioned(partitioned, cols, cfg, skipParts = completed)
-    // TOTAL sort key before partitionBy: the encoder emits blocks in
-    // (blockIdx, colName) order per partition, but partitionBy alone plans
-    // a sort on partId only — and a tie-heavy sort that SPILLS merges its
-    // runs in arbitrary tie order, interleaving blockIdx runs within a
-    // file. The readers' streaming group cursor requires monotonic
-    // blockIdx per file; sorting on the full key makes that an invariant
-    // of the write, not an accident of spill behavior.
-    blocks
-      .sortWithinPartitions(col("partId"), col("blockIdx"), col("colName"))
-      .write
-      .mode(SaveMode.Append)
-      .partitionBy("partId")
-      .parquet(blocksDir(outDir))
+    // fully-resumed fast path: every partition is committed under the
+    // current fingerprint, so the manifest already describes exactly this
+    // store — re-running the repartition+sort+encode job (whose tasks
+    // would each emit nothing) would cost nearly the full encode wall
+    val fullyResumed = completed.size >= cfg.numPartitions &&
+      (0 until cfg.numPartitions).forall(completed.contains)
 
-    // rebuild the manifest from the blocks actually on disk, then commit it
-    val all = spark.read.parquet(blocksDir(outDir))
-    val manifest = all
-      .groupBy(col("partId"), col("colName"))
-      .agg(
-        concat_ws(",", sort_array(collect_set(col("codecId")))).as("codecIds"),
-        count(lit(1)).as("nBlocks"),
-        sum(col("rowCount")).as("rowCount"),
-        sum(col("rawBytes")).as("rawBytes"),
-        sum(col("encodedBytes")).as("encodedBytes"))
-      .withColumn("fingerprint", lit(fp))
-      .select("partId", "colName", "codecIds", "nBlocks", "rowCount", "rawBytes",
-        "encodedBytes", "fingerprint")
-    commitManifest(spark, manifest, outDir)
+    if (!fullyResumed) {
+      // retract any ordering claim BEFORE publishing (repo invariant:
+      // stale claims are worse than none — a crash mid-append must not
+      // leave a marker describing the pre-append order); re-asserted
+      // below only after the manifest commit succeeds
+      StoreMeta.clearSortKeys(spark.sparkContext.hadoopConfiguration, blocksDir(outDir))
 
-    // record the sorted-by prefix the encode actually guarantees: the
-    // within-partition order is (head, salt, rest), so with a non-empty
-    // skew plan only the head key's order survives across salt buckets
-    StoreMeta.writeSortKeys(spark.sparkContext.hadoopConfiguration,
-      blocksDir(outDir), if (skew.isEmpty) sortKeys else sortKeys.take(1))
+      val partitioned = Encoder.partitionInput(df, cols, sortKeys, cfg, Some(skew))
+      val blocks = Encoder.encodePartitioned(partitioned, cols, cfg, skipParts = completed)
+      // TOTAL sort key before partitionBy: the encoder emits blocks in
+      // (blockIdx, colName) order per partition, but partitionBy alone plans
+      // a sort on partId only — and a tie-heavy sort that SPILLS merges its
+      // runs in arbitrary tie order, interleaving blockIdx runs within a
+      // file. The readers' streaming group cursor requires monotonic
+      // blockIdx per file; sorting on the full key makes that an invariant
+      // of the write, not an accident of spill behavior.
+      blocks
+        .sortWithinPartitions(col("partId"), col("blockIdx"), col("colName"))
+        .write
+        .mode(SaveMode.Append)
+        .partitionBy("partId")
+        .parquet(blocksDir(outDir))
 
-    val summary = manifest
+      // rebuild the manifest from the blocks actually on disk, then commit it
+      val all = spark.read.parquet(blocksDir(outDir))
+      val manifest = all
+        .groupBy(col("partId"), col("colName"))
+        .agg(
+          concat_ws(",", sort_array(collect_set(col("codecId")))).as("codecIds"),
+          count(lit(1)).as("nBlocks"),
+          sum(col("rowCount")).as("rowCount"),
+          sum(col("rawBytes")).as("rawBytes"),
+          sum(col("encodedBytes")).as("encodedBytes"))
+        .withColumn("fingerprint", lit(fp))
+        .select("partId", "colName", "codecIds", "nBlocks", "rowCount", "rawBytes",
+          "encodedBytes", "fingerprint")
+      commitManifest(spark, manifest, outDir)
+
+      // record the sorted-by prefix the encode actually guarantees: the
+      // within-partition order is (head, salt, rest), so with a non-empty
+      // skew plan only the head key's order survives across salt buckets
+      StoreMeta.writeSortKeys(spark.sparkContext.hadoopConfiguration,
+        blocksDir(outDir), if (skew.isEmpty) sortKeys else sortKeys.take(1))
+    }
+
+    // summary from the COMMITTED manifest (one coalesced file): the lazy
+    // manifest plan above would otherwise re-scan and re-aggregate every
+    // block file a second time just for this row
+    val summary = spark.read.parquet(manifestDir(outDir))
       .agg(sum("rowCount"), sum("rawBytes"), sum("encodedBytes"),
         countDistinct("partId"))
       .first()

@@ -107,24 +107,33 @@ object Decoder {
     val keyIdx = colNames.indexOf(keyCol)
     require(keyIdx >= 0, s"key column $keyCol not in $cols")
     val valBytes = value.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-    val prefix = {
-      val s = value
-      if (s.length <= 24) s
-      else s.substring(0, if (Character.isHighSurrogate(s.charAt(23))) 23 else 24)
-    }
 
     val spark = blocks.sparkSession
     import spark.implicits._
 
-    // (1) pushable range predicate on the key column's blocks
+    // (1) pushable lower-bound predicate on the key column's blocks. Only
+    // the minPrefix leg is a sound direct comparison (minPrefix ≤ min ≤
+    // any match in unsigned-lex, so minPrefix > value proves absence); the
+    // maxPrefix leg needs the value TRUNCATED to the stored prefix's
+    // length first — prefixes can cut at 23 OR 24 chars (surrogate-pair
+    // safety), and comparing differently-cut prefixes directly can prune
+    // a block that holds the match. That leg runs row-wise below, same
+    // rule as graft.datasource.GraftPruning.lowerMayMatch.
     val keyBlocks = blocks
       .filter(col("colName") === keyCol &&
         col("minPrefix").isNotNull &&
-        col("minPrefix") <= lit(prefix) && col("maxPrefix") >= lit(prefix))
+        col("minPrefix") <= lit(value))
 
-    // (2) + (3a): metadata check, then decode just the key column
+    // (2) + (3a): sound max-prefix check + metadata check, then decode
+    // just the key column
     val hits = keyBlocks.flatMap { b =>
-      if (!BlockCodec.mayContain(b, valBytes)) Iterator.empty
+      val vk = if (b.maxPrefix != null && value.length > b.maxPrefix.length)
+        value.substring(0, b.maxPrefix.length) else value
+      if (b.maxPrefix != null && java.util.Arrays.compareUnsigned(
+          vk.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+          b.maxPrefix.getBytes(java.nio.charset.StandardCharsets.UTF_8)) > 0)
+        Iterator.empty
+      else if (!BlockCodec.mayContain(b, valBytes)) Iterator.empty
       else {
         val decoded = BlockCodec.decodeBlock(b)
         val idx = scala.collection.mutable.ArrayBuffer.empty[Int]
@@ -146,7 +155,12 @@ object Decoder {
     // selectivity key (40%+ of rows) would ship billions of indices to every
     // executor if forced. Size-based planning / AQE picks broadcast when the
     // hit set is actually small and a shuffled join otherwise.
-    val joined = blocks.join(hits, Seq("partId", "blockIdx"))
+    // Column pruning BEFORE the join: blocks of unrequested columns must
+    // not ship their payloads through the shuffle (same filter decode()
+    // applies before its groupByKey).
+    val joined = blocks
+      .filter(col("colName").isin(colNames.toIndexedSeq: _*))
+      .join(hits, Seq("partId", "blockIdx"))
     val binary = joined
       .groupByKey(r => (r.getAs[Int]("partId"), r.getAs[Int]("blockIdx")))(keyEnc)
       .flatMapGroups { (_, it) =>

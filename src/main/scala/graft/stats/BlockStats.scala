@@ -14,15 +14,6 @@ object BlockStats {
 
   private val NdvCap = 1 << 16
 
-  private final class BKey(val bytes: Array[Byte]) {
-    private val h = Arrays.hashCode(bytes)
-    override def hashCode: Int = h
-    override def equals(o: Any): Boolean = o match {
-      case k: BKey => Arrays.equals(bytes, k.bytes)
-      case _ => false
-    }
-  }
-
   def compute(colName: String, partId: Int, values: Array[Array[Byte]]): ColStats = {
     var nulls = 0L
     var totalBytes = 0L
@@ -37,7 +28,7 @@ object BlockStats {
     var maxLong = Long.MinValue
     var allHex = true
     var hexLen = -2 // -2 = unset, -1 = non-uniform
-    val seen = new java.util.HashSet[BKey]()
+    val seen = new java.util.HashSet[graft.codec.ByteKey]()
     var ndvExact = true
 
     var i = 0
@@ -60,7 +51,7 @@ object BlockStats {
         prev = v
         if (ndvExact) {
           if (seen.size >= NdvCap) ndvExact = false
-          else seen.add(new BKey(v))
+          else seen.add(new graft.codec.ByteKey(v))
         }
         if (allLong) {
           graft.codec.ForLongCodec.canonicalLong(v) match {

@@ -84,6 +84,33 @@ class FilteredDecodeSpec extends AnyFunSuite {
     blocks.unpersist(); df.unpersist()
   }
 
+  test("prefix pruning is sound when prefixes cut at different lengths") {
+    // the block max is >24 chars with an astral char AT index 23, so its
+    // stored maxPrefix cuts at 23 chars (surrogate-pair safety); the probe
+    // value is 24 chars ("a"*23 + "b") and LESS than max in UTF-8 order.
+    // A naive maxPrefix >= probePrefix comparison ("a"*23 < "a"*23+"b")
+    // would prune the block that holds the match — rows would vanish.
+    import spark.implicits._
+    val astral = new String(Character.toChars(0x1F600)) // 😀 > 'b' in UTF-8
+    val matchVal = "a" * 23 + "b"
+    val maxVal = "a" * 23 + astral + "tail"
+    val df = Seq(
+      (matchVal, "p1", "c1", "scala", "body-1"),
+      (maxVal, "p2", "c2", "scala", "body-2"),
+      ("a" * 10, "p3", "c3", "java", "body-3"))
+      .toDF("repo", "path", "commit", "lang", "content")
+    val blocks = Encoder.encode(df, cols, Seq("repo", "path", "commit"),
+      Encoder.EncodeConfig(numPartitions = 1, blockRows = 512)).cache()
+    // precondition: the stored prefix really is the 23-char cut
+    val maxPrefix = blocks.filter(col("colName") === "repo")
+      .select("maxPrefix").first().getString(0)
+    assert(maxPrefix == "a" * 23, s"expected 23-char cut, got ${maxPrefix.length}")
+    val got = Decoder.decodeWhereEq(blocks, cols, "repo", matchVal).collect()
+    assert(got.length == 1 && got.head.getAs[String]("content") == "body-1",
+      s"prefix pruning dropped the matching row (got ${got.length} rows)")
+    blocks.unpersist()
+  }
+
   test("mayContain prunes dict and FoR blocks without decode") {
     import graft.codec._
     def b(s: String) = s.getBytes("UTF-8")
