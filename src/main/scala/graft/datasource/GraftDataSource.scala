@@ -648,7 +648,15 @@ final case class GraftScan(path: String, required: StructType, preds: Seq[GraftP
 
   private def statsFromManifest(wanted: Set[String]): Option[(Long, Long, Long)] = {
     val conf = new Configuration(GraftDataSource.activeHadoopConf())
-    val manifest = new Path(new Path(path), "manifest")
+    // `path` may be the Checkpoint outDir (manifest beside blocks/) OR the
+    // blocks directory itself (blocksDir supports both) — in the latter
+    // form the manifest sits beside the GIVEN dir, not under it
+    val root = new Path(path)
+    val manifest =
+      if (GraftDataSource.blocksDir(path).toString == root.toString &&
+          root.getParent != null)
+        new Path(root.getParent, "manifest")
+      else new Path(root, "manifest")
     val fs = manifest.getFileSystem(conf)
     if (!fs.exists(manifest)) return None
     val files = fs.listStatus(manifest).map(_.getPath)
@@ -794,6 +802,12 @@ final case class GraftScan(path: String, required: StructType, preds: Seq[GraftP
   // scale each listStatus round-trip on an object store costs real time
   @transient private lazy val cachedPartitions: Array[InputPartition] = {
     val dir = GraftDataSource.blocksDir(path)
+    // the format check must sit on the SCAN path, not only in schemaFor:
+    // a user-supplied schema (supportsExternalMetadata) skips inference
+    // entirely, and an unchecked pre-v2 store would decode into wrong
+    // values instead of refusing
+    graft.engine.StoreMeta.checkFormat(
+      GraftDataSource.activeHadoopConf(), dir.toString)
     val fs = dir.getFileSystem(
       org.apache.spark.sql.SparkSession.active.sparkContext.hadoopConfiguration)
     fs.listStatus(dir)
@@ -860,6 +874,10 @@ final class GraftMicroBatchStream(
 
   private def currentFiles(): Map[Int, Seq[String]] = {
     val dir = GraftDataSource.blocksDir(path)
+    // same reader-side format gate as the batch scan (schema may be
+    // user-supplied, so inference's check cannot be relied on)
+    graft.engine.StoreMeta.checkFormat(
+      GraftDataSource.activeHadoopConf(), dir.toString)
     val fs = dir.getFileSystem(
       org.apache.spark.sql.SparkSession.active.sparkContext.hadoopConfiguration)
     fs.listStatus(dir)
@@ -886,6 +904,22 @@ final class GraftMicroBatchStream(
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[GraftStreamOffset].files
     val e = end.asInstanceOf[GraftStreamOffset].files
+    // committed files VANISHING from the latest offset means the store was
+    // overwritten or rewritten under this stream's checkpoint (a batch
+    // mode("overwrite"), a manual rewrite) — treating the new files as
+    // fresh would silently re-emit every already-consumed row. Same loud
+    // refusal as the compaction case below, which this check also catches
+    // when the merged inputs disappear.
+    s.foreach { case (partId, sf) =>
+      val now = e.getOrElse(partId, Nil).toSet
+      val gone = sf.filterNot(now)
+      if (gone.nonEmpty)
+        throw new IllegalStateException(
+          s"store $path partId=$partId: ${gone.length} file(s) in this " +
+            s"stream's committed offset no longer exist (e.g. ${new Path(gone.head).getName}) — " +
+            "the store was overwritten, rewritten, or compacted under the " +
+            "checkpoint. Restart the query with a fresh checkpoint.")
+    }
     e.toSeq.sortBy(_._1).flatMap { case (partId, files) =>
       val seen = s.getOrElse(partId, Nil).toSet
       val fresh = files.filterNot(seen)
@@ -970,6 +1004,16 @@ private[datasource] object GraftBlockRow {
       strOrNull("maxPrefix"),
       g.getBinary("data", 0).getBytes)
   }
+
+  /** metadata-only materialization for count-shaped scans: the group was
+    * read under a projection WITHOUT `data` (and codec/prefix fields), so
+    * only identity + rowCount are real; nothing downstream decodes it
+    */
+  def toMetaBlock(g: org.apache.parquet.example.data.Group,
+                  partId: Int, colName: String): EncodedBlock =
+    EncodedBlock(colName, partId, g.getInteger("blockIdx", 0),
+      0.toByte, 0.toByte, g.getInteger("rowCount", 0),
+      0L, 0L, null, null, Array.emptyByteArray)
 }
 
 
@@ -1049,7 +1093,9 @@ private[datasource] final class GraftGroupCursor(
       if (neededCols.isEmpty && countCol == null) countCol = colName
       if (neededCols.contains(colName) ||
           (neededCols.isEmpty && colName == countCol))
-        return GraftBlockRow.toBlock(g, partition.partId, colName)
+        return (if (neededCols.isEmpty)
+          GraftBlockRow.toMetaBlock(g, partition.partId, colName)
+        else GraftBlockRow.toBlock(g, partition.partId, colName))
       g = reader.read()
     }
     null
@@ -1060,9 +1106,18 @@ private[datasource] final class GraftGroupCursor(
     while (true) {
       if (reader == null) {
         if (!fileIt.hasNext) return null
+        val conf = new Configuration()
+        // count-shaped fallback (every column pruned, no predicates):
+        // rowCount metadata is all that's needed — projecting out `data`
+        // keeps the read O(metadata) instead of copying every block's
+        // compressed payload just to count rows
+        if (neededCols.isEmpty)
+          conf.set(org.apache.parquet.hadoop.api.ReadSupport.PARQUET_READ_SCHEMA,
+            "message g { optional binary colName (UTF8); " +
+              "required int32 blockIdx; required int32 rowCount; }")
         val builder0 = ParquetReader
           .builder(new GroupReadSupport(), new Path(fileIt.next()))
-          .withConf(new Configuration())
+          .withConf(conf)
         reader = colFilter.fold(builder0)(builder0.withFilter).build()
         maxIdxSeen = -1
         lookahead = readBlockRow()

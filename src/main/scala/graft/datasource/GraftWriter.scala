@@ -165,17 +165,21 @@ final class GraftStreamingWrite(path: String, schema: StructType, queryId: Strin
           // partition — same partition set (checked above), same rows
           // re-encoded
           fs.delete(src, false)
-        } else if (isReplay) {
-          // the marker proves this epoch WAS published, but its file is
-          // gone — the store was compacted or rewritten since (GraftCompact
-          // merges epoch files into part-compact-*). Publishing the staged
-          // copy would duplicate every row already inside the merged file.
+        } else if (isReplay && fs.exists(dest.getParent) &&
+            fs.listStatus(dest.getParent).exists(
+              _.getPath.getName.startsWith("part-compact-"))) {
+          // the marker proves this epoch WAS committed, its file is gone,
+          // and the partition dir holds a compacted file — GraftCompact
+          // merged the epoch file away. Publishing the staged copy would
+          // duplicate every row already inside the merged file. (A missing
+          // dest WITHOUT compaction evidence is the ordinary crash window:
+          // the marker renames before the file publishes, so a replay that
+          // finds no dest and no rewrite just finishes the publish.)
           throw new IllegalStateException(
             s"replayed epoch $epochId of query $qTag: its published file " +
-              s"${dest.getName} no longer exists (store compacted or " +
-              "rewritten since the original attempt) — publishing again " +
-              "would duplicate its rows; restart the query from a fresh " +
-              "checkpoint")
+              s"${dest.getName} was merged by a compaction since the " +
+              "original attempt — publishing again would duplicate its " +
+              "rows; restart the query from a fresh checkpoint")
         } else {
           fs.mkdirs(dest.getParent)
           if (!fs.rename(src, dest))
@@ -312,19 +316,26 @@ final class GraftDataWriter(
   private val groupFactory = new SimpleGroupFactory(blockSchema)
 
   // staged under _staging-<writeId>; the taskId in the name keeps retried
-  // attempts distinct, the final name (assigned at driver commit) is keyed
-  // by partitionId only — exactly one attempt per partition commits
-  // (BatchWrite.useCommitCoordinator default)
+  // attempts distinct and the name is published UNCHANGED at driver commit
+  // — dedupe of racing attempts comes from the commit coordinator
+  // (BatchWrite.useCommitCoordinator default: exactly one attempt per
+  // partition gets to send a commit message), NOT from name collisions
   private val file = new Path(
     s"$path/blocks/_staging-$writeId/part-$writeId-$partitionId-$taskId.parquet")
-  private lazy val writer = {
-    val conf = new Configuration()
-    org.apache.parquet.hadoop.example.GroupWriteSupport.setSchema(blockSchema, conf)
-    ExampleParquetWriter.builder(
-        org.apache.parquet.hadoop.util.HadoopOutputFile.fromPath(file, conf))
-      .withConf(conf)
-      .withCompressionCodec(org.apache.parquet.hadoop.metadata.CompressionCodecName.SNAPPY)
-      .build()
+  // opened on first flushed block; abort on a task that never wrote a row
+  // must not CREATE a parquet file just to delete it
+  private var writerOpt: org.apache.parquet.hadoop.ParquetWriter[org.apache.parquet.example.data.Group] = null
+  private def writer = {
+    if (writerOpt == null) {
+      val conf = new Configuration()
+      org.apache.parquet.hadoop.example.GroupWriteSupport.setSchema(blockSchema, conf)
+      writerOpt = ExampleParquetWriter.builder(
+          org.apache.parquet.hadoop.util.HadoopOutputFile.fromPath(file, conf))
+        .withConf(conf)
+        .withCompressionCodec(org.apache.parquet.hadoop.metadata.CompressionCodecName.SNAPPY)
+        .build()
+    }
+    writerOpt
   }
 
   override def write(row: InternalRow): Unit = {
@@ -386,12 +397,14 @@ final class GraftDataWriter(
   }
 
   override def abort(): Unit = {
-    try writer.close() catch { case _: Throwable => }
-    try {
-      val fs = file.getFileSystem(new Configuration())
-      fs.delete(file, false)
-      ()
-    } catch { case _: Throwable => }
+    if (writerOpt != null) {
+      try writerOpt.close() catch { case _: Throwable => }
+      try {
+        val fs = file.getFileSystem(new Configuration())
+        fs.delete(file, false)
+        ()
+      } catch { case _: Throwable => }
+    }
   }
 
   override def close(): Unit = ()

@@ -563,6 +563,22 @@ class GraftDataSourceSpec extends AnyFunSuite {
     }
     assert(e2.getMessage.contains("format version 1"))
 
+    // a USER-SUPPLIED schema skips inference (supportsExternalMetadata) —
+    // the scan path itself must still refuse, or an unchecked store would
+    // decode into wrong values silently
+    val e2b = intercept[Exception] {
+      spark.read.format("graft")
+        .schema(org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("k",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("v",
+            org.apache.spark.sql.types.StringType))))
+        .load(dir).count()
+    }
+    assert(Iterator.iterate(e2b: Throwable)(_.getCause).takeWhile(_ != null)
+      .exists(t => Option(t.getMessage).exists(_.contains("format version 1"))),
+      e2b.getMessage)
+
     // restored marker reads again
     StoreMeta.writeFormatMarker(conf, bdir)
     assert(spark.read.format("graft").load(dir).count() == 2)
@@ -605,17 +621,27 @@ class GraftDataSourceSpec extends AnyFunSuite {
       p.toString
     }
     w.commit(3L, Array(GraftCommit(0, 5, staged("a.parquet"))))
-    // simulate GraftCompact merging the epoch file away
     val qTag = Integer.toHexString("query-y".hashCode)
     val dest = java.nio.file.Paths.get(dir, "blocks", "partId=0",
       s"part-q$qTag-e3-p0.parquet")
+
+    // crash-window replay: marker renamed but the file never published
+    // (no compaction evidence) — the replay must FINISH the publish, not
+    // refuse (the marker is written before the files by design)
     assert(java.nio.file.Files.deleteIfExists(dest))
-    // replay: marker says published, file is gone -> publishing the staged
-    // copy would duplicate the rows inside the merged file
+    w.commit(3L, Array(GraftCommit(0, 5, staged("a2.parquet"))))
+    assert(java.nio.file.Files.exists(dest), "replay must complete the publish")
+
+    // compaction case: file merged away AND a part-compact file sits in the
+    // partition dir — publishing again would duplicate the merged rows
+    assert(java.nio.file.Files.deleteIfExists(dest))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "blocks", "partId=0", "part-compact-ff.parquet"),
+      Array[Byte](9))
     val e = intercept[IllegalStateException] {
-      w.commit(3L, Array(GraftCommit(0, 5, staged("a2.parquet"))))
+      w.commit(3L, Array(GraftCommit(0, 5, staged("a3.parquet"))))
     }
-    assert(e.getMessage.contains("no longer exists"), e.getMessage)
+    assert(e.getMessage.contains("merged by a compaction"), e.getMessage)
   }
 
   test("overwrite replaces a wrong-version store and sweeps epoch markers") {
