@@ -141,6 +141,11 @@ object MediaCodecs {
           while (k < samples.length) { samples(k) = bb.getShort; k += 1 }
         case _ => bb.position(bb.position() + len)
       }
+      // RIFF chunks are word-aligned: an odd-length chunk is followed by a
+      // pad byte NOT counted in len — skipping it keeps the walk aligned
+      // (real-world LIST/INFO chunks are routinely odd-sized)
+      if ((len & 1) == 1 && bb.remaining() >= 1)
+        bb.position(bb.position() + 1)
     }
     if (rate > 0 && samples != null) Some((rate, samples)) else None
   }

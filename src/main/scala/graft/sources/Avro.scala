@@ -145,13 +145,13 @@ object Avro {
     val sparkSchema = df.schema
     val avroJson = avroSchemaFor(sparkSchema).toString
     val fields = sparkSchema.fields
-    new java.io.File(path).mkdirs()
+    SinkDirs.reset(df.sparkSession, path)
     df.foreachPartition {
       (rows: Iterator[org.apache.spark.sql.Row]) =>
         if (rows.hasNext) {
           val schema = new Schema.Parser().parse(avroJson)
           val pid = org.apache.spark.TaskContext.getPartitionId()
-          val file = new java.io.File(path, f"part-$pid%05d.avro")
+          val out = SinkDirs.create(path, f"part-$pid%05d.avro")
           val writer = new DataFileWriter(new GenericDatumWriter[GenericRecord](schema))
           codec match {
             case "deflate" => writer.setCodec(CodecFactory.deflateCodec(
@@ -161,7 +161,7 @@ object Avro {
             case "null" | "none" => // uncompressed, the reference default
             case other => throw new IllegalArgumentException(s"unknown avro codec $other")
           }
-          writer.create(schema, file)
+          writer.create(schema, out)
           while (rows.hasNext) {
             val r = rows.next()
             val rec = new org.apache.avro.generic.GenericData.Record(schema)

@@ -84,6 +84,23 @@ object Csv {
                 !s.getPath.getName.startsWith("."))
               .map(_.getPath.toString).sorted.toSeq
           else Seq(root.toString)
+        // canonical header = the first file's line skipN+1, captured
+        // driver-side (a small bounded read of one file's head)
+        val headerLine: Option[String] =
+          if (!opts.header || files.isEmpty) None
+          else {
+            val p0 = new org.apache.hadoop.fs.Path(files.head)
+            val in0 = new java.io.BufferedReader(new java.io.InputStreamReader(
+              p0.getFileSystem(spark.sparkContext.hadoopConfiguration).open(p0),
+              opts.charset))
+            try {
+              var i = 0
+              var l = in0.readLine()
+              while (i < skipN && l != null) { l = in0.readLine(); i += 1 }
+              Option(l)
+            } finally in0.close()
+          }
+        val dropPerFile = skipN + (if (opts.header) 1 else 0)
         // session hadoop settings (credentials, endpoints) must reach the
         // executors — a bare `new Configuration()` there would lose them
         val confKv = {
@@ -113,9 +130,19 @@ object Csv {
               }
               def hasNext: Boolean = nextLine != null
               def next(): String = { val l = nextLine; nextLine = advance(); l }
-            }.drop(skipN)
+            }.drop(dropPerFile)
           }
-        reader.csv(lines)
+        // With header=true, each FILE's header is dropped by POSITION above
+        // (Spark's csv(Dataset) would only drop lines byte-equal to the
+        // dataset's first line — a second file whose header differs in
+        // spacing or column order would otherwise survive as a data row)
+        // and ONE canonical header — the first file's — is prepended as its
+        // own leading partition, so csv()'s first() is deterministic.
+        val withHeader = headerLine match {
+          case Some(h) => spark.createDataset(Seq(h)).union(lines)
+          case None => lines
+        }
+        reader.csv(withHeader)
       }
 
     val cleaned = if (!opts.skipEmptyRows) df else {

@@ -74,6 +74,38 @@ object Excel {
     }
   }
 
+  /** single-pass variant: ALL selected sheets of every workbook in ONE
+    * DataFrame, tagged by a `_sheet` column — the scale path for
+    * many-sheet workbooks. `readSheets` hands back one DataFrame per
+    * sheet, so each sheet's job re-inflates the ZIP and re-parses
+    * sharedStrings/styles; here the workbook is unzipped once per file
+    * and every sheet's rows stream out of that single pass.
+    */
+  def readTagged(spark: SparkSession, path: String,
+      opts: ExcelReadOptions = ExcelReadOptions()): DataFrame = {
+    import spark.implicits._
+    val o = opts
+    val rows = spark.read.format("binaryFile").load(path)
+      .select("content").as[Array[Byte]]
+      .flatMap { bytes =>
+        val jm = new com.fasterxml.jackson.databind.ObjectMapper()
+        val parts = unzip(bytes)
+        val shared = sharedStrings(parts)
+        val dateXfs = dateStyleXfs(parts)
+        workbookSheets(parts).iterator
+          .filter { case (name, _) => o.sheets.isEmpty || o.sheets.contains(name) }
+          .flatMap { case (name, p) =>
+            val tag = jm.writeValueAsString(
+              jm.getNodeFactory.textNode(name)) // JSON-escaped sheet name
+            renderRows(sheetRows(parts(p), shared, dateXfs), o)
+              .map(json =>
+                if (json == "{}") s"""{"_sheet":$tag}"""
+                else s"""{"_sheet":$tag,${json.drop(1)}""")
+          }
+      }
+    spark.read.json(rows)
+  }
+
   /** parse one sheet of one workbook into JSON-object rows (serializable
     * worker-side function; pure except for the XML parser)
     */
@@ -381,7 +413,7 @@ object Excel {
     * the header row's width windows every data row; empty header cells
     * become "ColumnN".
     */
-  private def renderRows(
+  private[sources] def renderRows(
       raw: Seq[Array[CellV]], opts: ExcelReadOptions): Seq[String] = {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     def rendered(c: CellV): Any = renderCell(c, opts)
@@ -404,9 +436,21 @@ object Excel {
           case c => String.valueOf(rendered(c))
         }
       }.toArray
+      // duplicate header texts would collapse columns in the JSON object
+      // (last writer wins, silent data loss) — disambiguate like spark's
+      // own CSV reader does, by positional suffix
+      val seen = scala.collection.mutable.Map.empty[String, Int]
+      headers = headers.map { h =>
+        val n = seen.getOrElse(h, 0)
+        seen(h) = n + 1
+        if (n == 0) h else s"${h}_$n"
+      }
     } else if (!opts.header) {
       rows = rows.drop(opts.skipRows)
-      lastCol = rows.headOption.map(_.length).getOrElse(0)
+      // window on the WIDEST row: xlsx omits trailing blank cells from the
+      // XML, so the first data row's width says nothing about later rows —
+      // taking it would silently truncate their extra columns
+      lastCol = if (rows.isEmpty) 0 else rows.iterator.map(_.length).max
     }
 
     val out = Seq.newBuilder[String]
@@ -476,12 +520,12 @@ object Excel {
   def write(df: DataFrame, path: String,
       opts: ExcelWriteOptions = ExcelWriteOptions()): Unit = {
     val schema = df.schema
-    new java.io.File(path).mkdirs()
+    SinkDirs.reset(df.sparkSession, path)
     df.foreachPartition { (rows: Iterator[Row]) =>
       if (rows.hasNext) {
         val pid = org.apache.spark.TaskContext.getPartitionId()
-        val f = new java.io.File(path, f"part-$pid%05d.xlsx")
-        val out = new java.io.BufferedOutputStream(new java.io.FileOutputStream(f))
+        val out = new java.io.BufferedOutputStream(
+          SinkDirs.create(path, f"part-$pid%05d.xlsx"))
         try writeWorkbook(out, Seq(opts.sheetTitle -> (schema, rows)), opts)
         finally out.close()
       }

@@ -164,8 +164,15 @@ object Protobuf {
             fd.flatMap(f => reg.enums.get(Descriptors.strip(f.typeName)))
               .flatMap(_.values.get(v.toInt))
               .map(nf.textNode).getOrElse(nf.numberNode(v))
-          case Some(Descriptors.TInt32) | Some(Descriptors.TUint32) =>
-            nf.numberNode(v.toInt)
+          case Some(Descriptors.TInt32) => nf.numberNode(v.toInt)
+          // unsigned types must not surface the sign bit as a negative:
+          // uint32 0xFFFFFFFF is 4294967295, not -1 (DynamicMessage prints
+          // these unsigned); uint64 past Long.MaxValue widens to BigInteger
+          case Some(Descriptors.TUint32) => nf.numberNode(v & 0xFFFFFFFFL)
+          case Some(Descriptors.TUint64) =>
+            if (v >= 0) nf.numberNode(v)
+            else nf.numberNode(new java.math.BigInteger(
+              java.lang.Long.toUnsignedString(v)))
           case _ => nf.numberNode(v)
         }
       wire match {
@@ -175,12 +182,17 @@ object Protobuf {
           for (k <- 0 until 8) v |= (r.readByte().toLong & 0xff) << (8 * k)
           putV(if (fd.exists(_.tpe == Descriptors.TDouble))
             nf.numberNode(java.lang.Double.longBitsToDouble(v))
+          else if (fd.exists(_.tpe == Descriptors.TFixed64) && v < 0)
+            nf.numberNode(new java.math.BigInteger(
+              java.lang.Long.toUnsignedString(v))) // fixed64 is unsigned
           else nf.numberNode(v))
         case 5 =>
           var v = 0
           for (k <- 0 until 4) v |= (r.readByte() & 0xff) << (8 * k)
           putV(if (fd.exists(_.tpe == Descriptors.TFloat))
             nf.numberNode(java.lang.Float.intBitsToFloat(v))
+          else if (fd.exists(_.tpe == Descriptors.TFixed32))
+            nf.numberNode(v.toLong & 0xFFFFFFFFL) // fixed32 is unsigned
           else nf.numberNode(v))
         case 2 =>
           val payload = r.readBytes(r.readVarInt())
@@ -212,11 +224,16 @@ object Protobuf {
                 case Descriptors.TFixed32 | Descriptors.TSfixed32 =>
                   var v = 0
                   for (k <- 0 until 4) v |= (pr.readByte() & 0xff) << (8 * k)
-                  putV(nf.numberNode(v))
+                  putV(if (f.tpe == Descriptors.TFixed32)
+                    nf.numberNode(v.toLong & 0xFFFFFFFFL) // unsigned
+                  else nf.numberNode(v))
                 case Descriptors.TFixed64 | Descriptors.TSfixed64 =>
                   var v = 0L
                   for (k <- 0 until 8) v |= (pr.readByte().toLong & 0xff) << (8 * k)
-                  putV(nf.numberNode(v))
+                  putV(if (f.tpe == Descriptors.TFixed64 && v < 0)
+                    nf.numberNode(new java.math.BigInteger(
+                      java.lang.Long.toUnsignedString(v))) // unsigned
+                  else nf.numberNode(v))
                 case _ => putV(varintNode(pr.readVarLong()))
               }
             case _ => putV(decodeLengthDelimited(payload))
@@ -263,12 +280,12 @@ object Protobuf {
     */
   def writeDelimited(df: DataFrame, path: String): Unit = {
     val schema = df.schema
-    new java.io.File(path).mkdirs()
+    SinkDirs.reset(df.sparkSession, path)
     df.foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
       if (rows.hasNext) {
         val pid = org.apache.spark.TaskContext.getPartitionId()
-        val f = new java.io.File(path, f"part-$pid%05d.bin")
-        val out = new java.io.BufferedOutputStream(new java.io.FileOutputStream(f))
+        val out = new java.io.BufferedOutputStream(
+          SinkDirs.create(path, f"part-$pid%05d.bin"))
         val w = new graft.codec.ByteWriter()
         val lenW = new graft.codec.ByteWriter()
         try rows.foreach { row =>

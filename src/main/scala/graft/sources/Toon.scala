@@ -40,8 +40,9 @@ object Toon {
     }
   }
 
-  private def renderField(key: String, v: JsonNode, indent: Int, sb: StringBuilder): Unit = {
+  private def renderField(rawKey: String, v: JsonNode, indent: Int, sb: StringBuilder): Unit = {
     val pad = " " * indent
+    val key = quoteKey(rawKey)
     if (v.isArray) {
       val arr = v.asInstanceOf[ArrayNode]
       val n = arr.size
@@ -51,7 +52,7 @@ object Toon {
         sb ++= s"$pad$key[$n]: ${items.mkString(",")}\n"
       } else if (uniformObjectFields(arr).isDefined) {
         val fields = uniformObjectFields(arr).get
-        sb ++= s"$pad$key[$n]{${fields.mkString(",")}}:\n"
+        sb ++= s"$pad$key[$n]{${fields.map(quoteKey).mkString(",")}}:\n"
         (0 until n).foreach { i =>
           val row = fields.map(f => scalar(arr.get(i).get(f)))
           sb ++= s"$pad  ${row.mkString(",")}\n"
@@ -135,16 +136,52 @@ object Toon {
     }
   }
 
-  private val needsQuote = "[,:\"\\[\\]{}#]|^\\s|\\s$|\\n".r
+  private val needsQuote = "[,:\"\\[\\]{}#]|^\\s|\\s$|[\\n\\r]".r
+
+  /** escape for a double-quoted TOON string: backslash, quote, and the
+    * line breaks — an unescaped newline inside quotes would split the
+    * document into a line the parser cannot read back
+    */
+  private def escape(s: String): String =
+    s.replace("\\", "\\\\").replace("\"", "\\\"")
+      .replace("\n", "\\n").replace("\r", "\\r")
+
+  /** single-pass inverse of `escape` (sequential String.replace calls
+    * mis-decode adjacent escapes like \\\")
+    */
+  private def unescape(s: String): String = {
+    val sb = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\\' && i + 1 < s.length) {
+        s.charAt(i + 1) match {
+          case 'n' => sb += '\n'
+          case 'r' => sb += '\r'
+          case other => sb += other // \" and \\ (and pass-through)
+        }
+        i += 2
+      } else { sb += c; i += 1 }
+    }
+    sb.toString
+  }
 
   private[sources] def quoteIfNeeded(s: String): String = {
     val looksTyped = s == "null" || s == "true" || s == "false" ||
       s.matches("-?\\d+(\\.\\d+)?([eE][+-]?\\d+)?") || s.isEmpty ||
       s.startsWith("- ") || s == "-"
     if (looksTyped || needsQuote.findFirstIn(s).isDefined)
-      "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+      "\"" + escape(s) + "\""
     else s
   }
+
+  /** object keys quote under the same rules as values (the parser already
+    * reads quoted keys); a raw ':'/'['/',' in a key would otherwise split
+    * at the wrong place or parse as an array header
+    */
+  private def quoteKey(k: String): String =
+    if (k.isEmpty || needsQuote.findFirstIn(k).isDefined) "\"" + escape(k) + "\""
+    else k
 
   // ----------------------------------------------------------------- parse
 
@@ -173,7 +210,7 @@ object Toon {
           val arr = mapper.createArrayNode()
           if (fieldsStr != null) {
             // tabular rows
-            val fields = splitCsv(fieldsStr).map(_.trim)
+            val fields = splitCsv(fieldsStr).map(f => unquoteKey(f.trim))
             i += 1
             var r = 0
             while (r < n) {
@@ -236,7 +273,7 @@ object Toon {
 
   private def unquoteKey(k: String): String =
     if (k.startsWith("\"") && k.endsWith("\"") && k.length >= 2)
-      k.substring(1, k.length - 1).replace("\\\"", "\"").replace("\\\\", "\\")
+      unescape(k.substring(1, k.length - 1))
     else k
 
   /** split on commas, honoring double quotes with backslash escapes */
@@ -262,7 +299,7 @@ object Toon {
   private[sources] def scalarNode(raw: String): JsonNode = {
     val f = mapper.getNodeFactory
     if (raw.startsWith("\"") && raw.endsWith("\"") && raw.length >= 2)
-      f.textNode(raw.substring(1, raw.length - 1).replace("\\\"", "\"").replace("\\\\", "\\"))
+      f.textNode(unescape(raw.substring(1, raw.length - 1)))
     else if (raw == "null") f.nullNode()
     else if (raw == "true") f.booleanNode(true)
     else if (raw == "false") f.booleanNode(false)

@@ -16,11 +16,23 @@ object Yaml {
   }
   private def jsonMapper = new com.fasterxml.jackson.databind.ObjectMapper()
 
-  /** one row per YAML document across all input files */
+  /** one row per YAML document across all input files; non-UTF-8 charsets
+    * read through binaryFile + explicit decode (wholetext text() is
+    * UTF-8-only and would silently mojibake a Latin-1 input)
+    */
   def read(spark: SparkSession, path: String, charset: String = "UTF-8"): DataFrame = {
     import spark.implicits._
-    val jsonDocs = spark.read.option("wholetext", true).text(path)
-      .as[String]
+    val whole: org.apache.spark.sql.Dataset[String] =
+      if (charset.equalsIgnoreCase("UTF-8"))
+        spark.read.option("wholetext", true).text(path).as[String]
+      else {
+        val cs = charset // serializable capture, validated on the driver
+        java.nio.charset.Charset.forName(cs)
+        spark.read.format("binaryFile").load(path)
+          .select("content").as[Array[Byte]]
+          .map(b => new String(b, cs))
+      }
+    val jsonDocs = whole
       .flatMap { whole =>
         val ym = yamlMapper
         val jm = jsonMapper

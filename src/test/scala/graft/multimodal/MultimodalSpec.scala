@@ -58,6 +58,20 @@ class MultimodalSpec extends AnyFunSuite {
     val Some((rate, back)) = MediaCodecs.decodeWav(wav)
     assert(rate == 16000 && back.toSeq == samples.toSeq)
     assert(MediaCodecs.decodeWav(Array.fill[Byte](100)(3)).isEmpty)
+
+    // odd-length chunk before fmt/data: RIFF pads to word alignment with a
+    // byte NOT counted in the chunk length — real-world LIST/INFO chunks
+    // are routinely odd-sized and must not misalign the walk
+    val oddChunk = "LIST".getBytes("US-ASCII") ++
+      Array[Byte](3, 0, 0, 0) ++ Array[Byte]('a', 'b', 'c') ++ Array[Byte](0)
+    val spliced = wav.take(12) ++ oddChunk ++ wav.drop(12)
+    // patch the RIFF size to cover the inserted chunk
+    val bb = java.nio.ByteBuffer.wrap(spliced)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(4, spliced.length - 8)
+    val Some((rate2, back2)) = MediaCodecs.decodeWav(spliced)
+    assert(rate2 == 16000 && back2.toSeq == samples.toSeq,
+      "odd chunk misaligned the RIFF walk")
   }
 
   test("resize really resamples PPM pixels (nearest neighbor)") {

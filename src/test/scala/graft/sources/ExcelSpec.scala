@@ -117,6 +117,14 @@ class ExcelSpec extends AnyFunSuite {
       Excel.ExcelReadOptions(sheets = Seq("Second"))).toMap
     assert(sheets.keySet == Set("Second"))
     assert(sheets("Second").count() == 2)
+
+    // single-pass tagged read: all sheets in one DataFrame, one unzip
+    val tagged = Excel.readTagged(spark, file)
+    assert(tagged.count() == 3)
+    assert(tagged.where(org.apache.spark.sql.functions.col("_sheet") === "First")
+      .count() == 1)
+    assert(tagged.select("_sheet").distinct().as[String].collect().sorted.toSeq ==
+      Seq("First", "Second"))
   }
 
   test("missing cells and a fully missing column read as null") {
@@ -177,5 +185,29 @@ class ExcelSpec extends AnyFunSuite {
     val r = back.head()
     assert(r.getAs[String]("plain") == "rich")
     assert(r.getAs[Double]("rich") == 7.0)
+  }
+
+  test("duplicate headers disambiguate; headerless ragged rows keep columns") {
+    import Excel._
+    // duplicate header texts must not collapse columns (last-wins data loss)
+    val dup = renderRows(Seq(
+      Array[CellV](CStr("x"), CStr("x"), CStr("y")),
+      Array[CellV](CStr("1"), CStr("2"), CStr("3"))),
+      ExcelReadOptions(header = true))
+    assert(dup.length == 1)
+    val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(dup.head)
+    assert(node.get("x").asText() == "1")
+    assert(node.get("x_1").asText() == "2")
+    assert(node.get("y").asText() == "3")
+
+    // header=false: the window must cover the WIDEST row (xlsx omits
+    // trailing blanks, so the first row's width says nothing)
+    val ragged = renderRows(Seq(
+      Array[CellV](CStr("a"), CStr("b")),
+      Array[CellV](CStr("c"), CStr("d"), CStr("e"), CStr("f"))),
+      ExcelReadOptions(header = false))
+    val row2 = new com.fasterxml.jackson.databind.ObjectMapper().readTree(ragged(1))
+    assert(row2.get("col_003").asText() == "f",
+      s"wide-row columns truncated: ${ragged(1)}")
   }
 }

@@ -177,6 +177,33 @@ class FormatsSpec extends AnyFunSuite {
     assert(Avro.read(spark, s"$dir/avro", Avro.WarnOnBad).count() == skipped)
   }
 
+  test("avro rewrite of the same path has overwrite semantics") {
+    val dir = tmp()
+    // 4-partition write, then a smaller 1-partition rewrite: stale part
+    // files from the first write must not survive and be read back
+    Avro.write(fixture.repartition(4), s"$dir/avro", codec = "null")
+    Avro.write(fixture.limit(2).repartition(1), s"$dir/avro", codec = "null")
+    assert(Avro.read(spark, s"$dir/avro").count() == 2)
+  }
+
+  test("csv skipRows drops each file's header by position, not equality") {
+    import spark.implicits._
+    val dir = tmp()
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$dir/in"))
+    // file B's header differs in spacing — equality-based dedupe (Spark's
+    // csv(Dataset) default) would keep it as a data row
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/in/a.csv"),
+      "meta\nid,name\n1,x\n2,y\n".getBytes("UTF-8"))
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/in/b.csv"),
+      "meta\nid, name\n3,z\n".getBytes("UTF-8"))
+    val got = Csv.read(spark, s"$dir/in",
+      Csv.CsvReadOptions(header = true, skipRows = 1))
+    assert(got.count() == 3, got.collect().mkString("; "))
+    assert(got.columns.toSeq == Seq("id", "name"))
+    assert(got.as[(String, String)].collect().toSet ==
+      Set(("1", "x"), ("2", "y"), ("3", "z")))
+  }
+
   test("parquet round-trip with reference knobs (gzip, dictionary, v2)") {
     val dir = tmp()
     val df = fixture

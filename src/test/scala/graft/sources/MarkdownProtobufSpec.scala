@@ -230,6 +230,29 @@ class MarkdownProtobufSpec extends AnyFunSuite {
     msgBytes(w => m(w, 1, fileProto)) // FileDescriptorSet
   }
 
+  test("unsigned protobuf types decode unsigned, never sign-extended") {
+    import Descriptors._
+    val desc = MessageD("t.U", Seq(
+      FieldD("u32", 1, repeated = false, TUint32, ""),
+      FieldD("u64", 2, repeated = false, TUint64, ""),
+      FieldD("f32", 3, repeated = false, TFixed32, ""),
+      FieldD("f64", 4, repeated = false, TFixed64, "")))
+    val reg = Registry(Map("t.U" -> desc), Map.empty)
+    val bytes = msgBytes { w =>
+      vint(w, 1, 0xFFFFFFFFL)           // uint32 max → 4294967295, not -1
+      vint(w, 2, -1L)                    // uint64 max → 18446744073709551615
+      w.writeVarInt((3 << 3) | 5)        // fixed32, all-ones
+      (0 until 4).foreach(_ => w.writeByte(0xFF))
+      w.writeVarInt((4 << 3) | 1)        // fixed64, all-ones
+      (0 until 8).foreach(_ => w.writeByte(0xFF))
+    }
+    val node = Protobuf.decodeWithDescriptor(bytes, desc, reg)
+    assert(node.get("u32").asLong() == 4294967295L, node.get("u32"))
+    assert(node.get("u64").bigIntegerValue().toString == "18446744073709551615")
+    assert(node.get("f32").asLong() == 4294967295L, node.get("f32"))
+    assert(node.get("f64").bigIntegerValue().toString == "18446744073709551615")
+  }
+
   private def zigzag32(v: Int): Long = ((v << 1) ^ (v >> 31)).toLong & 0xffffffffL
 
   private def personMessage: Array[Byte] = msgBytes { w =>

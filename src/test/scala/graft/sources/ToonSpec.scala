@@ -88,6 +88,16 @@ class ToonSpec extends AnyFunSuite {
     assertRoundTrip("""{"s":"true","n":"42","q":"say \"hi\"","b":"back\\slash"}""")
   }
 
+  test("newlines in strings and unsafe keys round-trip") {
+    // a raw newline inside quotes would split the document into a line the
+    // parser cannot read; keys with ':'/'['/',' must quote symmetrically
+    assertRoundTrip("""{"s":"line1\nline2","t":"a\rb","u":"tail\n"}""")
+    assertRoundTrip("""{"a:b":1,"k[3]":"v","x,y":true,"":"empty key"}""")
+    assertRoundTrip("""{"rows":[{"a:c":1,"nl":"p\nq"},{"a:c":2,"nl":"r"}]}""")
+    // adjacent escapes decode in one pass (sequential replace mis-decodes)
+    assertRoundTrip("""{"e":"\\\"","f":"\\n literal-backslash-n"}""")
+  }
+
   test("deep round-trips") {
     assertRoundTrip(
       """{"a":{"b":{"c":[1,2,3],"d":[{"x":1,"y":"u"},{"x":2,"y":"v"}]}},
