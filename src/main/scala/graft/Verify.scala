@@ -21,6 +21,10 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // several queries cache()/persist() intermediates inside their plans
+      // (LSH signatures, IVF assignments, langId trigrams) — released here
+      // so 42 queries in one session don't pin executor storage additively
+      spark.catalog.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -25,9 +25,16 @@ object MinHashImpl {
   }
 
   def poly(s: String): Long = {
+    // CODEPOINT iteration — the DuckDB oracle replays this polynomial with
+    // `ascii(s[i:i])` over codepoints, so a supplementary char must
+    // contribute one term, not a surrogate pair (identical on BMP text)
     var h = PolySeed
     var i = 0
-    while (i < s.length) { h = 31 * h + s.charAt(i); i += 1 }
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      h = 31 * h + cp
+      i += Character.charCount(cp)
+    }
     h
   }
 

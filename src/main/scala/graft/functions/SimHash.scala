@@ -20,27 +20,32 @@ object SimHashImpl {
   def hash(s: UTF8String): Long = hashString(s.toString)
 
   def hashString(text: String): Long = {
+    // iterates CODEPOINTS, not UTF-16 units: the DuckDB oracle replays the
+    // polynomial with `ascii(tok[i:i])` over codepoints, and a
+    // supplementary char must contribute ONE term on both sides (identical
+    // on BMP-only text, where 1 unit == 1 codepoint)
     val counts = new Array[Int](64)
-    var start = 0
     val n = text.length
-    var i = 0
-    while (i <= n) {
-      if (i == n || text.charAt(i) == ' ') {
-        if (i > start) {
-          var h = 1125899906842597L
-          var j = start
-          while (j < i) { h = 31 * h + text.charAt(j); j += 1 }
-          h = fmix64(h)
-          var b = 0
-          while (b < 64) {
-            if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
-            b += 1
-          }
-        }
-        start = i + 1
+    var h = 1125899906842597L
+    var inTok = false
+    def closeToken(): Unit = if (inTok) {
+      val f = fmix64(h)
+      var b = 0
+      while (b < 64) {
+        if (((f >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+        b += 1
       }
-      i += 1
+      h = 1125899906842597L
+      inTok = false
     }
+    var i = 0
+    while (i < n) {
+      val cp = text.codePointAt(i)
+      if (cp == ' ') closeToken()
+      else { h = 31 * h + cp; inTok = true }
+      i += Character.charCount(cp)
+    }
+    closeToken()
     var out = 0L
     var b = 0
     while (b < 64) { if (counts(b) > 0) out |= (1L << b); b += 1 }

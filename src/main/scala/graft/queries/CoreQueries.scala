@@ -9,6 +9,24 @@ object Tables {
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
+  /** scratch dir for a query's intermediate corpus copy, deleted at JVM
+    * exit: Bench runs every query at least twice and Verify once more, so
+    * un-reaped per-invocation dirs accumulate corpus-sized copies under
+    * /tmp across a session
+    */
+  def scratchDir(prefix: String): String = {
+    val p = java.nio.file.Files.createTempDirectory(prefix)
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        val kids = f.listFiles()
+        if (kids != null) kids.foreach(rm)
+        f.delete(); ()
+      }
+      rm(p.toFile)
+    }))
+    p.toString
+  }
+
   /** documents as the engine's all-string input shape */
   def docsAsStrings(spark: SparkSession, sfDir: String): DataFrame =
     load(spark, sfDir, "documents").select(
@@ -101,7 +119,7 @@ object CoreQueries {
       if (old != null &&
           java.nio.file.Files.exists(java.nio.file.Paths.get(old, "blocks"))) old
       else {
-        val dir = java.nio.file.Files.createTempDirectory("graft-q-dsv2").toString
+        val dir = Tables.scratchDir("graft-q-dsv2")
         // doc_key: a unique, NON-sort-key string column (path-like shape) so
         // the store also exercises high-NDV point lookups (q_key_lookup)
         val df = docsAsStrings(spark, sfDir).withColumn("doc_key",
@@ -163,7 +181,7 @@ object CoreQueries {
     * orders as a STRING ("10" < "2") on both sides.
     */
   def topN(spark: SparkSession, sfDir: String): DataFrame = {
-    val dir = java.nio.file.Files.createTempDirectory("graft-q-topn").toString
+    val dir = Tables.scratchDir("graft-q-topn")
     docsAsStrings(spark, sfDir).write.format("graft")
       .option("sortKeys", "lang,source,doc_id_s")
       .option("numPartitions", "4").mode("overwrite").save(dir)
@@ -180,7 +198,7 @@ object CoreQueries {
     * aggregates the original table — compaction may move bytes, never rows.
     */
   def compactRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
-    val dir = java.nio.file.Files.createTempDirectory("graft-q-compact").toString
+    val dir = Tables.scratchDir("graft-q-compact")
     val df = docsAsStrings(spark, sfDir)
     df.where(col("doc_id_s").cast("long") % 2 === 0)
       .write.format("graft").option("sortKeys", "lang,source,doc_id_s")
@@ -204,7 +222,7 @@ object CoreQueries {
     * sink commit protocol, epoch markers all exercised for real).
     */
   def streamRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
-    val dir = java.nio.file.Files.createTempDirectory("graft-q-stream").toString
+    val dir = Tables.scratchDir("graft-q-stream")
     val df = docsAsStrings(spark, sfDir)
     df.write.format("graft").option("sortKeys", "lang,source,doc_id_s")
       .option("numPartitions", "4").mode("overwrite").save(s"$dir/src")

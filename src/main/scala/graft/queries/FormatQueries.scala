@@ -13,7 +13,7 @@ object FormatQueries {
 
   /** documents → CSV → infer+coerce read → per-lang aggregates */
   def csvRoundtripAgg(spark: SparkSession, sfDir: String): DataFrame = {
-    val dir = java.nio.file.Files.createTempDirectory("graft-q-csv").toString
+    val dir = Tables.scratchDir("graft-q-csv")
     val docs = load(spark, sfDir, "documents")
     Csv.write(docs, s"$dir/csv", Csv.CsvWriteOptions(quoteMode = Csv.QuoteAlways))
     val back = InferSchema.inferAndCoerce(
@@ -26,7 +26,7 @@ object FormatQueries {
 
   /** documents → JSONL → YAML stream → read → per-source counts */
   def yamlRoundtripAgg(spark: SparkSession, sfDir: String): DataFrame = {
-    val dir = java.nio.file.Files.createTempDirectory("graft-q-yaml").toString
+    val dir = Tables.scratchDir("graft-q-yaml")
     val docs = load(spark, sfDir, "documents")
     Json.writeJsonl(docs, s"$dir/jsonl")
     Yaml.jsonToYaml(spark, s"$dir/jsonl", s"$dir/yaml")
@@ -37,7 +37,7 @@ object FormatQueries {
 
   /** documents → Avro(deflate, avro-java) → read → per-lang counts */
   def avroRoundtripAgg(spark: SparkSession, sfDir: String): DataFrame = {
-    val dir = java.nio.file.Files.createTempDirectory("graft-q-avro").toString
+    val dir = Tables.scratchDir("graft-q-avro")
     val docs = load(spark, sfDir, "documents")
     Avro.write(docs, s"$dir/avro", codec = "deflate")
     Avro.read(spark, s"$dir/avro")
@@ -50,7 +50,7 @@ object FormatQueries {
     * are IEEE doubles), so counts/sums are re-integerized for the oracle.
     */
   def excelRoundtripAgg(spark: SparkSession, sfDir: String): DataFrame = {
-    val dir = java.nio.file.Files.createTempDirectory("graft-q-excel").toString
+    val dir = Tables.scratchDir("graft-q-excel")
     val docs = load(spark, sfDir, "documents")
     Excel.write(docs, s"$dir/xlsx", Excel.ExcelWriteOptions(sheetTitle = "documents"))
     Excel.read(spark, s"$dir/xlsx")
@@ -65,7 +65,7 @@ object FormatQueries {
     * content fidelity through the double transcode, not just row counts.
     */
   def jsonRoundtripAgg(spark: SparkSession, sfDir: String): DataFrame = {
-    val dir = java.nio.file.Files.createTempDirectory("graft-q-json").toString
+    val dir = Tables.scratchDir("graft-q-json")
     val docs = load(spark, sfDir, "documents")
     Json.writeJsonArray(docs, s"$dir/array")
     Json.jsonToJsonl(spark, s"$dir/array", s"$dir/jsonl", newLine = false)
@@ -80,7 +80,7 @@ object FormatQueries {
     * per-lang aggregates (ref xml/IonToXml.java:88-171, XmlToIon.java:75-422)
     */
   def xmlRoundtripAgg(spark: SparkSession, sfDir: String): DataFrame = {
-    val dir = java.nio.file.Files.createTempDirectory("graft-q-xml").toString
+    val dir = Tables.scratchDir("graft-q-xml")
     val docs = load(spark, sfDir, "documents")
     Xml.write(docs, s"$dir/xml", rootName = "docs")
     Xml.read(spark, s"$dir/xml", query = "/docs/row")
@@ -97,7 +97,7 @@ object FormatQueries {
     */
   def toonRoundtripAgg(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val dir = java.nio.file.Files.createTempDirectory("graft-q-toon").toString
+    val dir = Tables.scratchDir("graft-q-toon")
     // round-robin repartition: every partition non-empty → one TOON doc per
     // output file (Toon.read parses whole files)
     val docs = load(spark, sfDir, "documents").repartition(4)
@@ -126,7 +126,7 @@ object FormatQueries {
     * per-lang aggregates (ref protobuf/ProtobufToIon.java:84-225)
     */
   def protobufRoundtripAgg(spark: SparkSession, sfDir: String): DataFrame = {
-    val dir = java.nio.file.Files.createTempDirectory("graft-q-pb").toString
+    val dir = Tables.scratchDir("graft-q-pb")
     val docs = load(spark, sfDir, "documents")
     Protobuf.writeDelimited(docs, s"$dir/pb")
     val descSet = Protobuf.buildFileDescriptorSet("graftq", "Doc",
@@ -187,7 +187,7 @@ object FormatQueries {
     */
   def coerceUnion(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.types._
-    val dir = java.nio.file.Files.createTempDirectory("graft-q-coerce").toString
+    val dir = Tables.scratchDir("graft-q-coerce")
     val docs = load(spark, sfDir, "documents")
     val m = pmod(col("doc_id"), lit(5))
     val derived = docs.select(
@@ -235,7 +235,7 @@ object FormatQueries {
 
   def inferredSchema(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val dir = java.nio.file.Files.createTempDirectory("graft-q-infer").toString
+    val dir = Tables.scratchDir("graft-q-infer")
     val docs = load(spark, sfDir, "documents")
     Csv.write(docs, s"$dir/csv", Csv.CsvWriteOptions(quoteMode = Csv.QuoteAlways))
     val raw = Csv.read(spark, s"$dir/csv", Csv.CsvReadOptions(nullValue = ""))

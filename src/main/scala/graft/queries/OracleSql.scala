@@ -427,18 +427,19 @@ object OracleSql {
     * left-to-right summation order as the Spark fold
     */
   val embedTopK: String =
-    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
       |n AS (SELECT vec_id, emb,
       |        sqrt(list_sum(list_transform(emb, x -> x * x))) AS nrm FROM e),
       |p AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
       |        list_sum(list_transform(range(1, 65), i -> q.emb[i] * c.emb[i]))
       |          / (q.nrm * c.nrm) AS cos
-      |      FROM n q, n c WHERE q.vec_id < 10 AND c.vec_id != q.vec_id),
+      |      FROM n q, n c
+      |      WHERE q.vec_id < ${EmbedQueries.NumQueries} AND c.vec_id != q.vec_id),
       |r AS (SELECT query_id, neighbor_id,
       |        CAST(row_number() OVER (PARTITION BY query_id
       |          ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rnk, cos
       |      FROM p)
       |SELECT query_id, neighbor_id, rnk,
       |  CAST(round(cos * 1000000) AS BIGINT) AS cos_r6
-      |FROM r WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin
+      |FROM r WHERE rnk <= ${EmbedQueries.K} ORDER BY query_id, rnk""".stripMargin
 }

@@ -68,13 +68,16 @@ object TextQueries {
       .select(col("lang"), col("doc_id"), col("text"))
       .as[(String, Long, String)]
       .flatMap { case (lang, id, text) =>
-        if (text.length < 3) Iterator.empty
+        // CODEPOINT trigrams: the oracle slices `text[i:i+2]` by codepoint,
+        // so a supplementary char is one trigram element, not two units
+        val cps = text.codePoints().toArray
+        if (cps.length < 3) Iterator.empty
         else {
           val m = new java.util.HashMap[String, Long]()
           var i = 0
-          val last = text.length - 3
+          val last = cps.length - 3
           while (i <= last) {
-            m.merge(text.substring(i, i + 3), 1L, (a, b) => a + b)
+            m.merge(new String(cps, i, 3), 1L, (a, b) => a + b)
             i += 1
           }
           scala.jdk.CollectionConverters.IteratorHasAsScala(m.entrySet().iterator())
@@ -131,13 +134,18 @@ object TextQueries {
   }
 
   def rollingMinHash(text: String, window: Int): Long = {
-    val n = text.length
+    // CODEPOINT windows: the DuckDB oracle computes the hash from
+    // `ascii(text[i:i])` with `len(text)` positions — both codepoint-based
+    // — so a supplementary char must be ONE window element on both sides
+    // (identical on BMP-only text)
+    val cps = text.codePoints().toArray
+    val n = cps.length
     if (n == 0) return 0L
     val B = 1000003L
     if (n < window) {
       var h = 0L
       var i = 0
-      while (i < n) { h = h * B + text.charAt(i); i += 1 }
+      while (i < n) { h = h * B + cps(i); i += 1 }
       return h
     }
     // B^(window-1) for the roll-off term
@@ -146,10 +154,10 @@ object TextQueries {
     while (k < window - 1) { bpow *= B; k += 1 }
     var h = 0L
     var i = 0
-    while (i < window) { h = h * B + text.charAt(i); i += 1 }
+    while (i < window) { h = h * B + cps(i); i += 1 }
     var minH = h
     while (i < n) {
-      h = (h - text.charAt(i - window) * bpow) * B + text.charAt(i)
+      h = (h - cps(i - window) * bpow) * B + cps(i)
       if (java.lang.Long.compareUnsigned(h, minH) < 0) minH = h
       i += 1
     }

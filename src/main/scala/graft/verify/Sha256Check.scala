@@ -14,15 +14,18 @@ object Sha256Check {
     * multisets of rows across `cols`)
     */
   def mismatchGroups(original: DataFrame, decoded: DataFrame, cols: Seq[String]): Long = {
-    // "N"/"V" prefix disambiguates NULL from every real string value
-    def hashed(df: DataFrame) = df
+    // "N"/"V" prefix disambiguates NULL from every real string value.
+    // The aggregate is aliased DIRECTLY (not .count + rename): a compared
+    // column named "count" would otherwise collide with the aggregate and
+    // the rename would hit both, breaking the join key resolution.
+    def hashed(df: DataFrame, cntName: String) = df
       .select(cols.map(c => sha2(concat(
         when(col(c).isNull, lit("N")).otherwise(lit("V")),
         coalesce(col(c), lit(""))), 256).as(c)): _*)
       .groupBy(cols.map(col): _*)
-      .count()
-    val a = hashed(original).withColumnRenamed("count", "cnt_a")
-    val b = hashed(decoded).withColumnRenamed("count", "cnt_b")
+      .agg(count(lit(1)).as(cntName))
+    val a = hashed(original, "cnt_a")
+    val b = hashed(decoded, "cnt_b")
     a.join(b, cols, "full_outer")
       .where(col("cnt_a").isNull || col("cnt_b").isNull || col("cnt_a") =!= col("cnt_b"))
       .count()

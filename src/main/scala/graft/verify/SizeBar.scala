@@ -14,12 +14,21 @@ import org.apache.spark.sql.{DataFrame, SaveMode}
   */
 object SizeBar {
 
+  /** DATA bytes only: Hadoop's local ChecksumFileSystem writes .crc
+    * sidecars (~0.8% of data) and Spark adds _SUCCESS — counting them
+    * would inflate the baseline and let a marginally-larger engine
+    * "beat" it; the graft side of the comparison is pure payload bytes
+    */
   def dirBytes(spark: org.apache.spark.sql.SparkSession, path: String): Long = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val it = fs.listFiles(p, true)
     var total = 0L
-    while (it.hasNext) total += it.next().getLen
+    while (it.hasNext) {
+      val st = it.next()
+      val name = st.getPath.getName
+      if (!name.startsWith(".") && !name.startsWith("_")) total += st.getLen
+    }
     total
   }
 
@@ -44,26 +53,30 @@ object SizeBar {
         val schema = new org.apache.avro.Schema.Parser().parse(
           s"""{"type":"record","name":"r","fields":[$fields]}""")
         val tmp = java.io.File.createTempFile("graft-avro-bar", ".avro")
-        val writer = new org.apache.avro.file.DataFileWriter(
-          new org.apache.avro.generic.GenericDatumWriter[org.apache.avro.generic.GenericRecord](schema))
-        writer.setCodec(org.apache.avro.file.CodecFactory.deflateCodec(
-          java.util.zip.Deflater.DEFAULT_COMPRESSION))
-        writer.create(schema, tmp)
-        while (rows.hasNext) {
-          val r = rows.next()
-          val rec = new org.apache.avro.generic.GenericData.Record(schema)
-          var c = 0
-          while (c < colNames.length) {
-            rec.put(c, if (r.isNullAt(c)) null else r.getString(c))
-            c += 1
-          }
-          writer.append(rec)
-        }
-        writer.close()
-        val n = tmp.length()
-        tmp.delete()
-        Iterator.single(n)
+        try {
+          val writer = new org.apache.avro.file.DataFileWriter(
+            new org.apache.avro.generic.GenericDatumWriter[org.apache.avro.generic.GenericRecord](schema))
+          writer.setCodec(org.apache.avro.file.CodecFactory.deflateCodec(
+            java.util.zip.Deflater.DEFAULT_COMPRESSION))
+          writer.create(schema, tmp)
+          try {
+            while (rows.hasNext) {
+              val r = rows.next()
+              val rec = new org.apache.avro.generic.GenericData.Record(schema)
+              var c = 0
+              while (c < colNames.length) {
+                rec.put(c, if (r.isNullAt(c)) null else r.getString(c))
+                c += 1
+              }
+              writer.append(rec)
+            }
+          } finally writer.close()
+          Iterator.single(tmp.length())
+        } finally { tmp.delete(); () } // no corpus-sized leak on task failure
       }
-    }(Encoders.scalaLong).reduce(_ + _)
+    }(Encoders.scalaLong).groupBy().sum().first() match {
+      case row if row.isNullAt(0) => 0L // zero-partition input
+      case row => row.getLong(0)
+    }
   }
 }

@@ -35,6 +35,28 @@ class SimHashSpec extends AnyFunSuite {
     assert(ham(a, b) <= 8)
   }
 
+  test("hash kernels iterate codepoints, matching DuckDB's ascii(s[i:i])") {
+    // a supplementary char must contribute ONE polynomial term — the
+    // DuckDB oracles slice by codepoint, and UTF-16 iteration would feed
+    // two surrogate units instead
+    val rocket = new String(Character.toChars(0x1F680))
+    val seed = 1125899906842597L
+    assert(graft.functions.MinHashImpl.poly(rocket) == 31 * seed + 0x1F680)
+    assert(graft.functions.MinHashImpl.poly(s"a${rocket}b") ==
+      31 * (31 * (31 * seed + 'a') + 0x1F680) + 'b')
+    // simhash: a one-token doc's hash is fmix64(poly(token)) with all its
+    // set bits voted positive -> equals hashing the BMP doc whose single
+    // codepoint replays the same polynomial? (cheap invariant instead:
+    // token boundaries and values are codepoint-stable)
+    assert(SimHashImpl.hashString(rocket) != 0L)
+    assert(SimHashImpl.hashString(s"$rocket $rocket") ==
+      SimHashImpl.hashString(rocket)) // identical tokens vote identically
+    // rolling fingerprint: below-window path is the plain polynomial
+    assert(graft.queries.TextQueries.rollingMinHash(rocket, 16) == 0x1F680L)
+    assert(graft.queries.TextQueries.rollingMinHash(s"a$rocket", 16) ==
+      1000003L * 'a' + 0x1F680)
+  }
+
   test("participates in whole-stage codegen and SQL registry") {
     import spark.implicits._
     // a range scan (not LocalTableScan) so a codegen stage actually forms
