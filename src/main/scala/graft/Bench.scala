@@ -74,16 +74,17 @@ object Bench {
     /** one timed probe rep: GB/s of the fixed block set right now */
     def gbpsOnce(): Double = {
       val pool = java.util.concurrent.Executors.newFixedThreadPool(threads)
-      val t0 = System.nanoTime()
-      val fs = encoded.map { e =>
-        pool.submit(new java.util.concurrent.Callable[Long] {
-          def call(): Long = BlockCodec.decodeBlock(e).length.toLong
-        })
-      }
-      fs.foreach(_.get())
-      val s = (System.nanoTime() - t0) / 1e9
-      pool.shutdown()
-      rawBytes / s / 1e9
+      try {
+        val t0 = System.nanoTime()
+        val fs = encoded.map { e =>
+          pool.submit(new java.util.concurrent.Callable[Long] {
+            def call(): Long = BlockCodec.decodeBlock(e).length.toLong
+          })
+        }
+        fs.foreach(_.get())
+        val s = (System.nanoTime() - t0) / 1e9
+        rawBytes / s / 1e9
+      } finally pool.shutdown() // a decode throw must not leak live threads
     }
   }
 
@@ -190,11 +191,14 @@ object Bench {
     val qReps = scala.collection.mutable.Map.empty[String, List[Double]]
     for (rep <- 1 to 2; (name, fn) <- qFns) {
       spark.catalog.clearCache()
-      val (_, sec) = time {
-        try fn(spark, sfDir).count()
-        catch { case _: Throwable => -1L }
+      // a failed query must NOT record its elapsed-until-throw as a timing
+      // (a crash after 0.2 s would read as a speedup in cross-round
+      // comparison) — the sentinel -1 survives the min and flags it loudly
+      val (ok, sec) = time {
+        try { fn(spark, sfDir).count(); true }
+        catch { case _: Throwable => false }
       }
-      qReps(name) = sec :: qReps.getOrElse(name, Nil)
+      qReps(name) = (if (ok) sec else -1.0) :: qReps.getOrElse(name, Nil)
     }
     val queryTimes = qFns.map { case (name, _) => name -> qReps(name).min }
     val querySpread = qFns.map { case (name, _) =>

@@ -4,29 +4,68 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-/** SparkSessionExtensions hook: registers the engine's native functions on
-  * every session built with
+/** SparkSessionExtensions hook: registers ALL the engine's native
+  * functions on every session built with
   * `--conf spark.sql.extensions=graft.GraftExtensions` (or
   * `.withExtensions(new GraftExtensions)`), so SQL users get them without
   * touching the function registry by hand.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  /** arity-checked builder: a silently-dropped extra argument would hash
+    * the wrong thing and return a plausible value (e.g. `simhash64(a, b)`
+    * quietly hashing only `a`) — fail analysis instead
+    */
+  private def unary(name: String)(mk: Expression => Expression)
+      : Seq[Expression] => Expression = { exprs =>
+    if (exprs.length != 1)
+      throw new org.apache.spark.sql.AnalysisException(
+        errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+        messageParameters = Map(
+          "functionName" -> name,
+          "expectedNum" -> "1",
+          "actualNum" -> exprs.length.toString,
+          "docroot" -> "https://spark.apache.org/docs/latest"))
+    mk(exprs.head)
+  }
+
+  private def binary(name: String)(mk: (Expression, Expression) => Expression)
+      : Seq[Expression] => Expression = { exprs =>
+    if (exprs.length != 2)
+      throw new org.apache.spark.sql.AnalysisException(
+        errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+        messageParameters = Map(
+          "functionName" -> name,
+          "expectedNum" -> "2",
+          "actualNum" -> exprs.length.toString,
+          "docroot" -> "https://spark.apache.org/docs/latest"))
+    mk(exprs.head, exprs(1))
+  }
+
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       FunctionIdentifier("simhash64"),
       new ExpressionInfo(classOf[graft.functions.SimHash64].getName, "simhash64"),
-      (exprs: Seq[Expression]) => graft.functions.SimHash64(exprs.head)))
+      unary("simhash64")(graft.functions.SimHash64)))
+    ext.injectFunction((
+      FunctionIdentifier("seedhash64"),
+      new ExpressionInfo(classOf[graft.functions.SeedHash64].getName, "seedhash64"),
+      binary("seedhash64")(graft.functions.SeedHash64)))
+    ext.injectFunction((
+      FunctionIdentifier("arrayhash64"),
+      new ExpressionInfo(classOf[graft.functions.ArrayHash64].getName, "arrayhash64"),
+      unary("arrayhash64")(graft.functions.ArrayHash64)))
     ext.injectFunction((
       FunctionIdentifier("md_to_text"),
       new ExpressionInfo(classOf[graft.functions.MdToText].getName, "md_to_text"),
-      (exprs: Seq[Expression]) => graft.functions.MdToText(exprs.head)))
+      unary("md_to_text")(graft.functions.MdToText)))
     ext.injectFunction((
       FunctionIdentifier("md_to_html"),
       new ExpressionInfo(classOf[graft.functions.MdToHtml].getName, "md_to_html"),
-      (exprs: Seq[Expression]) => graft.functions.MdToHtml(exprs.head)))
+      unary("md_to_html")(graft.functions.MdToHtml)))
     ext.injectFunction((
       FunctionIdentifier("html_to_md"),
       new ExpressionInfo(classOf[graft.functions.HtmlToMd].getName, "html_to_md"),
-      (exprs: Seq[Expression]) => graft.functions.HtmlToMd(exprs.head)))
+      unary("html_to_md")(graft.functions.HtmlToMd)))
   }
 }

@@ -236,7 +236,8 @@ class GraftBatchWrite(path: String, schema: StructType, truncate: Boolean,
     // legitimate target there (refusing would block the documented remedy
     // "re-encode the store"). Stamp our version before any file is published.
     if (!truncate) graft.engine.StoreMeta.checkFormat(hadoopConf, blocks.toString)
-    graft.engine.StoreMeta.writeFormatMarker(hadoopConf, blocks.toString)
+    graft.engine.StoreMeta.writeFormatMarker(hadoopConf, blocks.toString,
+      replaceDifferent = truncate) // truncate deletes the old blocks below
     // a DSv2 write makes any Checkpoint manifest stale (it describes blocks
     // this write replaces or extends) — drop it so stats/resume never trust
     // counts for data that changed underneath them

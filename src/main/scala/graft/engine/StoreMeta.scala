@@ -43,12 +43,28 @@ object StoreMeta {
 
   private def formatFileFor(blocksDir: Path) = new Path(blocksDir, FormatFile)
 
-  /** stamp the store format (idempotent, temp-then-rename) */
-  def writeFormatMarker(conf: Configuration, blocksDir: String): Unit = {
+  /** stamp the store format (idempotent, temp-then-rename).
+    *
+    * `replaceDifferent = false` (the default) refuses to stamp OVER a
+    * marker carrying another version: the loud-refusal design must not
+    * depend on every future writer remembering to call checkFormat first
+    * — only a caller that is about to DELETE the old blocks (overwrite
+    * truncate) may pass true.
+    */
+  def writeFormatMarker(conf: Configuration, blocksDir: String,
+      replaceDifferent: Boolean = false): Unit = {
     val dir = new Path(blocksDir)
     val f = formatFileFor(dir)
     val fs = f.getFileSystem(conf)
-    if (readFormatVersion(conf, blocksDir).contains(FormatVersion)) return
+    readFormatVersion(conf, blocksDir) match {
+      case Some(FormatVersion) => return
+      case Some(other) if !replaceDifferent =>
+        throw new IllegalStateException(
+          s"$blocksDir carries format version $other — stamping version " +
+            s"$FormatVersion over live blocks of another layout would let " +
+            "them misparse silently; re-encode the store (or overwrite it)")
+      case _ =>
+    }
     fs.mkdirs(dir)
     val tmp = new Path(dir, FormatFile + ".tmp")
     val out = fs.create(tmp, true)

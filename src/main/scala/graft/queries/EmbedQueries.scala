@@ -25,6 +25,11 @@ object EmbedQueries {
   /** hard per-bucket cap (skew guard, mirrors DedupQueries.BucketCap) */
   val LshBucketCap = 8 * LshTargetBucket
 
+  /** bits-per-band cap — the ONE constant the oracle's literal planes
+    * table must cover (OracleSql.embedLshCommon requires maxBits >= this)
+    */
+  val MaxLshBits = 24
+
   /** bits per band for a corpus of n vectors: 2^bits ≈ n / targetBucket.
     * Pure integer arithmetic (ceil-div + bit length) so the DuckDB oracle
     * computes the IDENTICAL value — float log2 can differ by 1 ulp at
@@ -33,7 +38,7 @@ object EmbedQueries {
   def lshBitsFor(n: Long): Int = {
     val m = (math.max(1L, n) + LshTargetBucket - 1) / LshTargetBucket
     val bitLen = 64 - java.lang.Long.numberOfLeadingZeros(m - 1)
-    math.min(24, math.max(4, bitLen))
+    math.min(MaxLshBits, math.max(4, bitLen))
   }
 
   private def withNorm(df: DataFrame): DataFrame =

@@ -287,8 +287,8 @@ object OracleSql {
     // the planes table must cover EVERY bits value lshBitsFor can produce
     // (cap 24): a maxBits below the runtime bits would silently drop plane
     // indices from the join and diverge exactly at large corpus sizes
-    require(maxBits >= 24,
-      s"oracle maxBits=$maxBits < lshBitsFor cap 24 — planes table would be incomplete")
+    require(maxBits >= EmbedQueries.MaxLshBits,
+      s"oracle maxBits=$maxBits < lshBitsFor cap ${EmbedQueries.MaxLshBits} — planes table would be incomplete")
     val dim = 64
     val planeVals = (0 until EmbedQueries.LshBands * maxBits).map { idx =>
       val row = (0 until dim).map(j => EmbedQueries.planeWeight(idx, j).toString)
@@ -296,7 +296,7 @@ object OracleSql {
     }.mkString(", ")
     val target = EmbedQueries.LshTargetBucket
     s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
-       |nn AS (SELECT CAST(LEAST(24, GREATEST(4, CASE WHEN m <= 1 THEN 0
+       |nn AS (SELECT CAST(LEAST(${EmbedQueries.MaxLshBits}, GREATEST(4, CASE WHEN m <= 1 THEN 0
        |         ELSE length(bin(m - 1)) END)) AS INT) AS bits
        |       FROM (SELECT (GREATEST(1, count(*)) + $target - 1) // $target AS m FROM e) t),
        |planes(idx, pl) AS (VALUES $planeVals),
@@ -311,7 +311,7 @@ object OracleSql {
   }
 
   /** q_embed_lsh_buckets: per-band bucket-size histogram */
-  def embedLshBuckets(maxBits: Int = 24): String =
+  def embedLshBuckets(maxBits: Int = EmbedQueries.MaxLshBits): String =
     embedLshCommon(maxBits) +
       """
         |SELECT b AS band, cnt AS bucket_size, count(*) AS n_buckets FROM (
@@ -322,7 +322,7 @@ object OracleSql {
     * cosine, global top-NearDupTopN by (cos desc, id_a, id_b) — validated
     * against the Python mirror in tools/oracle_proto6.py
     */
-  def embedNearDup(maxBits: Int = 24): String =
+  def embedNearDup(maxBits: Int = EmbedQueries.MaxLshBits): String =
     embedLshCommon(maxBits) +
       s""",
          |ok AS (SELECT b, s FROM sig GROUP BY b, s
@@ -347,7 +347,7 @@ object OracleSql {
          |FROM r WHERE rnk <= ${EmbedQueries.NearDupTopN} ORDER BY rnk""".stripMargin
 
   /** q_embed_lsh_topk: bucket-capped candidates + exact cosine re-rank */
-  def embedLshTopK(maxBits: Int = 24): String =
+  def embedLshTopK(maxBits: Int = EmbedQueries.MaxLshBits): String =
     embedLshCommon(maxBits) +
       s""",
          |ok AS (SELECT b, s FROM sig GROUP BY b, s

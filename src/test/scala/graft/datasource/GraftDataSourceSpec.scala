@@ -579,7 +579,15 @@ class GraftDataSourceSpec extends AnyFunSuite {
       .exists(t => Option(t.getMessage).exists(_.contains("format version 1"))),
       e2b.getMessage)
 
-    // restored marker reads again
+    // stamping v2 OVER the live wrong-version marker must itself refuse
+    // (the guard lives inside writeFormatMarker, not just in checkFormat)
+    val e3 = intercept[IllegalStateException] {
+      StoreMeta.writeFormatMarker(conf, bdir)
+    }
+    assert(e3.getMessage.contains("format version 1"))
+
+    // the documented remedy — remove the bogus marker — then restores reads
+    fs.delete(marker, false)
     StoreMeta.writeFormatMarker(conf, bdir)
     assert(spark.read.format("graft").load(dir).count() == 2)
   }
