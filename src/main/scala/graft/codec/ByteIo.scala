@@ -11,9 +11,17 @@ final class ByteWriter(initialCapacity: Int = 64) {
   private var len = 0
 
   private def ensure(n: Int): Unit = {
-    if (len + n > buf.length) {
+    val need = len + n
+    if (need < 0) // Int overflow: one sink cannot hold >= 2 GiB
+      throw new IllegalStateException(
+        s"ByteWriter overflow: $len + $n exceeds the 2 GiB array limit")
+    if (need > buf.length) {
+      // the doubling wraps negative past 2^30 (cap<<1 -> Int.MinValue -> 0)
+      // and would spin forever — clamp to the VM's max array size and let
+      // the allocation fail loudly if even that is too small
       var cap = buf.length
-      while (cap < len + n) cap = cap << 1
+      while (cap < need && cap > 0) cap <<= 1
+      if (cap < need || cap < 0) cap = Integer.MAX_VALUE - 8
       buf = Arrays.copyOf(buf, cap)
     }
   }

@@ -108,6 +108,10 @@ final class GraftStreamingWrite(path: String, schema: StructType, queryId: Strin
     graft.engine.StoreMeta.clearSortKeys(hadoopConf, blocks.toString)
     val manifest = new Path(path, "manifest")
     if (fs.exists(manifest)) fs.delete(manifest, true)
+    // the resumable encoder's completeness claim dies with the manifest —
+    // a stale one would let encodeResumable's fast path describe a store
+    // this epoch just extended
+    fs.delete(new Path(path, "complete.txt"), false)
 
     // Epoch-replay dedupe is per (query,epoch,partition) FILE NAME, which is
     // only sound when a replayed epoch plans the SAME partitioning — if
@@ -243,6 +247,8 @@ class GraftBatchWrite(path: String, schema: StructType, truncate: Boolean,
     // counts for data that changed underneath them
     val manifest = new Path(path, "manifest")
     if (fs.exists(manifest)) fs.delete(manifest, true)
+    // the resumable encoder's completeness claim dies with the manifest
+    fs.delete(new Path(path, "complete.txt"), false)
     // append mode interleaves sorted files: retract the ordering claim
     // BEFORE any file lands, so no crash window can leave a false claim
     // (overwrite re-asserts it after a successful publish below)

@@ -49,9 +49,24 @@ object Decoder {
       val byCol = scala.collection.mutable.HashMap.empty[String, EncodedBlock]
       it.foreach(b => byCol(b.colName) = b)
       val decodedOrErr: Either[Throwable, Array[Array[Array[Byte]]]] =
-        try Right(colNames.map(c => BlockCodec.decodeBlock(byCol.getOrElse(c,
-          throw new IllegalStateException(
-            s"missing column block '$c' (have ${byCol.keys.mkString(",")})")))))
+        try Right {
+          val d = colNames.map(c => BlockCodec.decodeBlock(byCol.getOrElse(c,
+            throw new IllegalStateException(
+              s"missing column block '$c' (have ${byCol.keys.mkString(",")})"))))
+          // a group whose columns decode to DIFFERENT row counts is corrupt:
+          // zipping by the first column's length would silently drop rows
+          // (or throw lazily inside the emitted iterator, bypassing the
+          // onBad policy) — detect it here so it routes through the policy
+          var c = 1
+          while (c < d.length) {
+            if (d(c).length != d(0).length)
+              throw new IllegalStateException(
+                s"column '${colNames(c)}' decoded ${d(c).length} rows but " +
+                  s"'${colNames(0)}' decoded ${d(0).length} — corrupt group")
+            c += 1
+          }
+          d
+        }
         catch { case e: Throwable => Left(e) }
       decodedOrErr match {
         case Left(e) =>

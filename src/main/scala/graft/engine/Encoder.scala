@@ -99,7 +99,10 @@ object Encoder {
             val others = df.columns.filterNot(_ == skewKey)
             if (others.nonEmpty) others.toSeq.map(col) else Seq(col(skewKey))
           }
-        pmod(abs(xxhash64(hashCols: _*)), nb).cast("int")
+        // pmod is already non-negative for negative hashes; an abs() here
+        // would add nothing AND throw ARITHMETIC_OVERFLOW under ANSI mode
+        // (Spark 4 default) on the 2^-64 row whose hash is Long.MinValue
+        pmod(xxhash64(hashCols: _*), nb).cast("int")
       }
     val orderCols = col(skewKey) +: col("__salt") +: restKeys.map(col)
     df.withColumn("__salt", saltCol)

@@ -12,18 +12,26 @@ object Tables {
   /** scratch dir for a query's intermediate corpus copy, deleted at JVM
     * exit: Bench runs every query at least twice and Verify once more, so
     * un-reaped per-invocation dirs accumulate corpus-sized copies under
-    * /tmp across a session
+    * /tmp across a session. ONE shutdown hook drains a shared queue — a
+    * hook Thread per invocation would pin ~20+ live threads in the runtime
+    * hook set for the whole session and delete trees concurrently at exit.
     */
-  def scratchDir(prefix: String): String = {
-    val p = java.nio.file.Files.createTempDirectory(prefix)
+  private val scratchDirs =
+    new java.util.concurrent.ConcurrentLinkedQueue[java.nio.file.Path]()
+  private lazy val scratchReaper: Unit =
     Runtime.getRuntime.addShutdownHook(new Thread(() => {
       def rm(f: java.io.File): Unit = {
         val kids = f.listFiles()
         if (kids != null) kids.foreach(rm)
         f.delete(); ()
       }
-      rm(p.toFile)
+      var p = scratchDirs.poll()
+      while (p != null) { rm(p.toFile); p = scratchDirs.poll() }
     }))
+  def scratchDir(prefix: String): String = {
+    scratchReaper
+    val p = java.nio.file.Files.createTempDirectory(prefix)
+    scratchDirs.add(p)
     p.toString
   }
 
@@ -113,23 +121,33 @@ object CoreQueries {
     * re-encodes; note the memo assumes the source parquet at sfDir is
     * immutable for the JVM's lifetime — true for the driver's testdata.
     */
-  private val dsv2Store = new java.util.concurrent.ConcurrentHashMap[String, String]()
-  private def docStore(spark: SparkSession, sfDir: String): String =
-    dsv2Store.compute(sfDir, (_, old) => {
-      if (old != null &&
-          java.nio.file.Files.exists(java.nio.file.Paths.get(old, "blocks"))) old
-      else {
-        val dir = Tables.scratchDir("graft-q-dsv2")
-        // doc_key: a unique, NON-sort-key string column (path-like shape) so
-        // the store also exercises high-NDV point lookups (q_key_lookup)
-        val df = docsAsStrings(spark, sfDir).withColumn("doc_key",
-          concat(col("source"), lit("/"), col("doc_id_s")))
-        graft.engine.Checkpoint.encodeResumable(
-          df, docCols :+ "doc_key", docSortKeys, docCfg,
-          dir, s"dsv2:$sfDir")
-        dir
-      }
-    })
+  // the encode runs inside the holder's lazy val, NOT inside a CHM compute
+  // — compute() would hold the map bin lock for the whole multi-minute
+  // Spark job, blocking any other thread whose key hashes to the same bin
+  // (CHM mapping functions must be short and non-blocking)
+  private final class StoreHolder(mk: () => String) { lazy val dir: String = mk() }
+  private val dsv2Store =
+    new java.util.concurrent.ConcurrentHashMap[String, StoreHolder]()
+  @annotation.tailrec
+  private def docStore(spark: SparkSession, sfDir: String): String = {
+    val h = dsv2Store.computeIfAbsent(sfDir, _ => new StoreHolder(() => {
+      val dir = Tables.scratchDir("graft-q-dsv2")
+      // doc_key: a unique, NON-sort-key string column (path-like shape) so
+      // the store also exercises high-NDV point lookups (q_key_lookup)
+      val df = docsAsStrings(spark, sfDir).withColumn("doc_key",
+        concat(col("source"), lit("/"), col("doc_id_s")))
+      graft.engine.Checkpoint.encodeResumable(
+        df, docCols :+ "doc_key", docSortKeys, docCfg,
+        dir, s"dsv2:$sfDir")
+      dir
+    }))
+    val d = h.dir // first caller encodes here; others block on the holder only
+    if (java.nio.file.Files.exists(java.nio.file.Paths.get(d, "blocks"))) d
+    else { // dangling entry (store deleted externally): drop and rebuild
+      dsv2Store.remove(sfDir, h)
+      docStore(spark, sfDir)
+    }
+  }
 
   def dsv2Lookup(spark: SparkSession, sfDir: String): DataFrame = {
     spark.read.format("graft").load(docStore(spark, sfDir))

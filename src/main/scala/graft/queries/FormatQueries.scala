@@ -181,9 +181,12 @@ object FormatQueries {
     * (complexUnion), :219-230 (inferAllFields), :629-717 + OnBadLines.java
     * :6-19 (counting WARN/SKIP).
     *
-    * Inference scans ALL rows (a 100-row sample's content depends on file
-    * order — nondeterministic under an oracle); the bounded collect is fine
-    * at driver scale and the pre-pass stays a pure function of the table.
+    * Inference samples up to 2^20 rows (it collects to the driver — it can
+    * never scan 100 TB), so every derived column is constructed to infer
+    * the SAME type from any sample of the table: c0 is bounded below 1e6
+    * (always 'int'), c1/c2 mix types within every 35-consecutive-id window
+    * (always 'string'). The oracle can then pin the types as constants
+    * without mirroring the sample.
     */
   def coerceUnion(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.types._
@@ -191,7 +194,13 @@ object FormatQueries {
     val docs = load(spark, sfDir, "documents")
     val m = pmod(col("doc_id"), lit(5))
     val derived = docs.select(
-      col("doc_id").cast("string").as("c0"),
+      // bounded below 1e6 so the inferred type of c0 is 'int' BY
+      // CONSTRUCTION at any corpus size: inference samples rowsToScan rows
+      // (the reference's knob — it cannot scan 100 TB), and an unbounded
+      // doc_id would let the sampled rows say 'int' while the oracle's
+      // full-table max says 'bigint' once ids cross 2^31. 1e6 ≡ 0 (mod 5),
+      // so case_id below still equals doc_id % 5.
+      pmod(col("doc_id"), lit(1000000)).cast("string").as("c0"),
       when(m === 0, (col("doc_id") * 3).cast("string"))       // long wins
         // bounded below 1e6: Spark renders doubles >= 1e7 in scientific
         // notation ("1.00000005E7"), which would diverge from the oracle's

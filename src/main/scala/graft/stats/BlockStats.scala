@@ -49,10 +49,12 @@ object BlockStats {
           nRuns += 1
         }
         prev = v
-        if (ndvExact) {
-          if (seen.size >= NdvCap) ndvExact = false
-          else seen.add(new graft.codec.ByteKey(v))
-        }
+        // only a NEW distinct value beyond the cap makes ndv inexact — a
+        // duplicate arriving while the set sits exactly at the cap must not
+        // (a column of exactly NdvCap distinct values is exactly countable,
+        // and the selector's dict bound `ndv <= 1<<16` is meant to admit it)
+        if (ndvExact && seen.add(new graft.codec.ByteKey(v)) &&
+            seen.size > NdvCap) ndvExact = false
         if (allLong) {
           graft.codec.ForLongCodec.canonicalLong(v) match {
             case Some(l) =>

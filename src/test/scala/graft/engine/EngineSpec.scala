@@ -95,6 +95,10 @@ class EngineSpec extends AnyFunSuite {
     fs.delete(new org.apache.hadoop.fs.Path(Checkpoint.manifestDir(dir)), true)
     fs.rename(new org.apache.hadoop.fs.Path(tmp),
       new org.apache.hadoop.fs.Path(Checkpoint.manifestDir(dir)))
+    // faithful crash state: a run that died mid-encode never wrote the
+    // completeness claim (it lands only after the full manifest commit) —
+    // leaving it here would be manifest surgery outside the write contract
+    fs.delete(new org.apache.hadoop.fs.Path(Checkpoint.completeFile(dir)), false)
 
     val r3 = Checkpoint.encodeResumable(df, cols, sortKeys, cfg, dir, "t1")
     assert(r3.skippedParts == keepParts.size)
