@@ -47,9 +47,12 @@ object MediaCodecs {
     val w = int(); val h = int(); val maxv = int()
     if (w <= 0 || h <= 0 || maxv != 255 || i >= b.length) return None
     i += 1 // exactly one whitespace byte after maxval
-    val need = 3 * w * h
-    if (b.length - i < need) return None
-    Some((w, h, java.util.Arrays.copyOfRange(b, i, i + need)))
+    // long arithmetic: a forged header like `1 805306368` overflows the Int
+    // product to a NEGATIVE need, which slips the length guard and crashes
+    // copyOfRange — a corrupt payload must yield None, never a task failure
+    val need = 3L * w * h
+    if (need > Int.MaxValue || b.length - i < need) return None
+    Some((w, h, java.util.Arrays.copyOfRange(b, i, i + need.toInt)))
   }
 
   /** nearest-neighbor resample to w2×h2; None when the input is not PPM */
@@ -128,6 +131,9 @@ object MediaCodecs {
       if (len < 0 || len > bb.remaining()) return None
       t match {
         case "fmt " =>
+          // the declared length must cover the 16 PCM fields read below —
+          // a truncated fmt chunk at the buffer's end would underflow
+          if (len < 16) return None
           val fmt = bb.getShort
           val channels = bb.getShort
           rate = bb.getInt
@@ -139,6 +145,10 @@ object MediaCodecs {
           samples = new Array[Short](len / 2)
           var k = 0
           while (k < samples.length) { samples(k) = bb.getShort; k += 1 }
+          // an ODD data length leaves its last declared byte unread (shorts
+          // consume len - 1); skip it so the cursor sits at chunk end and
+          // the word-align pad below lands on the right byte
+          bb.position(bb.position() + (len & 1))
         case _ => bb.position(bb.position() + len)
       }
       // RIFF chunks are word-aligned: an odd-length chunk is followed by a
@@ -204,14 +214,19 @@ object MediaCodecs {
 
   final case class Y4mHeader(w: Int, h: Int, fpsNum: Int, fpsDen: Int,
       colorspace: String, headerLen: Int) {
-    def frameLen: Int = colorspace match {
-      // chroma planes use CEIL(w/2)/CEIL(h/2) — `w*h*3/2` is wrong for odd
-      // dimensions (legal in Y4M) and would silently misalign frame offsets
-      case "C444" => 3 * w * h
-      case "C420" | "C420jpeg" | "C420paldv" | "C420mpeg2" =>
-        w * h + 2 * (((w + 1) / 2) * ((h + 1) / 2))
-      case "C422" => w * h + 2 * (((w + 1) / 2) * h)
-      case _ => -1
+    def frameLen: Int = {
+      // long arithmetic: forged giant W/H would wrap the Int product to a
+      // positive-but-wrong value and silently misalign every frame slice
+      val fl: Long = colorspace match {
+        // chroma planes use CEIL(w/2)/CEIL(h/2) — `w*h*3/2` is wrong for odd
+        // dimensions (legal in Y4M) and would silently misalign frame offsets
+        case "C444" => 3L * w * h
+        case "C420" | "C420jpeg" | "C420paldv" | "C420mpeg2" =>
+          w.toLong * h + 2L * (((w + 1) / 2).toLong * ((h + 1) / 2))
+        case "C422" => w.toLong * h + 2L * (((w + 1) / 2).toLong * h)
+        case _ => -1L
+      }
+      if (fl < 0 || fl > Int.MaxValue) -1 else fl.toInt
     }
   }
 
@@ -258,7 +273,8 @@ object MediaCodecs {
           b(pos + 3) != 'M' || b(pos + 4) != 'E') return out.toSeq
       var nl = pos + 5
       while (nl < b.length && b(nl) != '\n') nl += 1
-      if (nl >= b.length || nl + 1 + fl > b.length) return out.toSeq
+      // long sum: nl + 1 + fl can exceed Int for a near-2GiB frameLen
+      if (nl >= b.length || nl + 1L + fl > b.length) return out.toSeq
       out += nl + 1
       pos = nl + 1 + fl
     }

@@ -85,10 +85,18 @@ object Multimodal {
       val real = m.meta.kind match {
         case "image" => MediaCodecs.ppmLumaHistogram(m.media, FeatureDim)
         case "audio" => MediaCodecs.wavRmsWindows(m.media, FeatureDim)
-        case _ => MediaCodecs.decodeY4m(m.media).collect {
-          case (hdr, frames) if frames.nonEmpty =>
-            MediaCodecs.y4mLumaHistogram(frames(0), hdr.w, hdr.h, FeatureDim)
-        }
+        case _ =>
+          // only the FIRST frame feeds the histogram — slice it via the
+          // offset walk instead of decodeY4m, which would copy every frame
+          // of the stream (N× per-row allocation for nothing)
+          MediaCodecs.decodeY4mHeader(m.media).filter(_.frameLen > 0).flatMap {
+            hdr =>
+              MediaCodecs.y4mFrameOffsets(m.media, hdr).headOption.map { off =>
+                MediaCodecs.y4mLumaHistogram(
+                  java.util.Arrays.copyOfRange(m.media, off, off + hdr.frameLen),
+                  hdr.w, hdr.h, FeatureDim)
+              }
+          }
       }
       MediaFeatures(m.doc_id, m.meta.kind, real.getOrElse(stubFeatures(m.media)))
     }
@@ -141,6 +149,8 @@ object Multimodal {
     * skipped frames.
     */
   def sampleFrames(media: Dataset[MediaFile], everyNth: Int): DataFrame = {
+    // fail on the driver, not as an ArithmeticException inside a task
+    require(everyNth >= 1, s"everyNth must be >= 1, got $everyNth")
     import media.sparkSession.implicits._
     media.flatMap { m =>
       if (m.meta.kind != "video") Iterator.empty

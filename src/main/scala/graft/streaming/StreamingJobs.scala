@@ -102,9 +102,20 @@ object StreamingJobs {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
+          // the fingerprint must identify the INPUT, not just the batch
+          // number (Checkpoint's contract): a reset streaming checkpoint
+          // re-assigns batchId 0 to a different file set, and a bare
+          // "stream-batch-0" would match the old manifest and silently
+          // skip encoding the new data. A replay of the SAME batch keeps
+          // the same file set, so exactly-once resume still engages.
+          val files = batch.inputFiles.sorted.mkString(",")
+          val md = java.security.MessageDigest.getInstance("SHA-256")
+          val fileFp = md.digest(files.getBytes("UTF-8"))
+            .map(b => f"$b%02x").mkString
           Checkpoint.encodeResumable(
             batch, cols, Seq("repo", "path", "commit"), cfg,
-            s"$outDir/batch=$batchId", inputFingerprint = s"stream-batch-$batchId")
+            s"$outDir/batch=$batchId",
+            inputFingerprint = s"stream-batch-$batchId-$fileFp")
           ()
         }
       }
