@@ -12,35 +12,13 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
-  /** arity-checked builder: a silently-dropped extra argument would hash
-    * the wrong thing and return a plausible value (e.g. `simhash64(a, b)`
-    * quietly hashing only `a`) — fail analysis instead
-    */
+  // arity-checked builders shared with the registerAll surfaces — see
+  // graft.functions.FnArity for why an unchecked exprs.head is a hazard
   private def unary(name: String)(mk: Expression => Expression)
-      : Seq[Expression] => Expression = { exprs =>
-    if (exprs.length != 1)
-      throw new org.apache.spark.sql.AnalysisException(
-        errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
-        messageParameters = Map(
-          "functionName" -> name,
-          "expectedNum" -> "1",
-          "actualNum" -> exprs.length.toString,
-          "docroot" -> "https://spark.apache.org/docs/latest"))
-    mk(exprs.head)
-  }
+      : Seq[Expression] => Expression = graft.functions.FnArity.unary(name)(mk)
 
   private def binary(name: String)(mk: (Expression, Expression) => Expression)
-      : Seq[Expression] => Expression = { exprs =>
-    if (exprs.length != 2)
-      throw new org.apache.spark.sql.AnalysisException(
-        errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
-        messageParameters = Map(
-          "functionName" -> name,
-          "expectedNum" -> "2",
-          "actualNum" -> exprs.length.toString,
-          "docroot" -> "https://spark.apache.org/docs/latest"))
-    mk(exprs.head, exprs(1))
-  }
+      : Seq[Expression] => Expression = graft.functions.FnArity.binary(name)(mk)
 
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((

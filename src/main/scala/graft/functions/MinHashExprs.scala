@@ -49,17 +49,30 @@ object MinHashImpl {
     while (i < vs.numElements()) { h = 31 * h + vs.getLong(i); i += 1 }
     fmix64(h)
   }
+
+  /** ArrayData.getLong reads a null slot as 0, so a null element would hash
+    * like a literal 0 and collide — the expression returns NULL instead
+    */
+  def hasNullElement(vs: org.apache.spark.sql.catalyst.util.ArrayData): Boolean = {
+    var i = 0
+    while (i < vs.numElements()) {
+      if (vs.isNullAt(i)) return true
+      i += 1
+    }
+    false
+  }
 }
 
-/** seedhash64(str, seed): 64-bit seeded hash of a string */
-case class SeedHash64(left: Expression, right: Expression) extends BinaryExpression {
+/** seedhash64(str, seed): 64-bit seeded hash of a string.
+  * ImplicitCastInputTypes so a plain SQL integer-literal seed
+  * (`seedhash64(text, 0)`) widens to long instead of failing analysis.
+  */
+case class SeedHash64(left: Expression, right: Expression) extends BinaryExpression
+    with org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes {
   override def dataType: DataType = LongType
-  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
-    if (left.dataType == StringType && right.dataType == LongType)
-      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
-    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-      s"seedhash64 needs (string, long), got " +
-        s"(${left.dataType.catalogString}, ${right.dataType.catalogString})")
+  // Seq is covariant and AbstractDataType is private[sql] — declaring the
+  // concrete DataType element type satisfies the trait without naming it
+  override def inputTypes: Seq[DataType] = Seq(StringType, LongType)
 
   override def nullSafeEval(s: Any, seed: Any): Any =
     MinHashImpl.hashSeed(s.asInstanceOf[UTF8String], seed.asInstanceOf[Long])
@@ -75,9 +88,18 @@ case class SeedHash64(left: Expression, right: Expression) extends BinaryExpress
   override def prettyName: String = "seedhash64"
 }
 
-/** arrayhash64(array<long>): order-dependent fold hash (band bucketing) */
+/** arrayhash64(array<long>): order-dependent fold hash (band bucketing).
+  * An array CONTAINING a null element yields NULL — ArrayData.getLong
+  * reads a null slot as 0, and hashing it like a literal 0 would produce a
+  * plausible-but-colliding value.
+  */
 case class ArrayHash64(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
+  override def nullable: Boolean = child.nullable ||
+    (child.dataType match {
+      case ArrayType(_, containsNull) => containsNull
+      case _ => true
+    })
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     child.dataType match {
       case ArrayType(LongType, _) =>
@@ -87,13 +109,24 @@ case class ArrayHash64(child: Expression) extends UnaryExpression {
           s"arrayhash64 needs array<bigint>, got ${other.catalogString}")
     }
 
-  override def nullSafeEval(v: Any): Any =
-    MinHashImpl.hashLongArray(
-      v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+  override def nullSafeEval(v: Any): Any = {
+    val ad = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    if (MinHashImpl.hasNullElement(ad)) null else MinHashImpl.hashLongArray(ad)
+  }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val impl = MinHashImpl.getClass.getName.stripSuffix("$") + "$.MODULE$"
-    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $impl.hashLongArray($c);")
+    // when !nullable (containsNull=false schema), ev.isNull is the literal
+    // "false" — emitting an assignment to it would not compile; the element
+    // scan is also provably unnecessary there
+    nullSafeCodeGen(ctx, ev, c =>
+      if (nullable) s"""
+        if ($impl.hasNullElement($c)) {
+          ${ev.isNull} = true;
+        } else {
+          ${ev.value} = $impl.hashLongArray($c);
+        }"""
+      else s"${ev.value} = $impl.hashLongArray($c);")
   }
 
   override protected def withNewChildInternal(newChild: Expression): ArrayHash64 =

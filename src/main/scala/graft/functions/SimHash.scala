@@ -52,12 +52,11 @@ object SimHashImpl {
     out
   }
 
-  private def fmix64(z0: Long): Long = {
-    var z = z0
-    z = (z ^ (z >>> 33)) * 0xff51afd7ed558ccdL
-    z = (z ^ (z >>> 33)) * 0xc4ceb9fe1a85ec53L
-    z ^ (z >>> 33)
-  }
+  // ONE murmur finalizer for the whole oracle-replayed family: the DuckDB
+  // SQL replays these exact constants (OracleSql xorShr33/mulMod64), and a
+  // second copy could be edited alone, breaking one pairing while the
+  // other's crosscheck still passes
+  private def fmix64(z: Long): Long = MinHashImpl.fmix64(z)
 }
 
 case class SimHash64(child: Expression) extends UnaryExpression {
@@ -91,5 +90,5 @@ object functions {
   /** register `simhash64` for SQL use on the given session */
   def registerAll(spark: org.apache.spark.sql.SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "simhash64", exprs => SimHash64(exprs.head), "built-in")
+      "simhash64", FnArity.unary("simhash64")(SimHash64), "built-in")
 }

@@ -32,10 +32,11 @@ abstract class TextTransformExpr extends UnaryExpression {
 
   protected def implMethod: String
 
-  override def nullSafeEval(v: Any): Any = v match {
-    case s: UTF8String => evalImpl(s)
-    case _ => null
-  }
+  // direct cast like the sibling expressions: checkInputDataTypes already
+  // guarantees StringType, and a defensive `case _ => null` would silently
+  // diverge from the codegen path (which casts unconditionally) if an
+  // internal invariant ever broke
+  override def nullSafeEval(v: Any): Any = evalImpl(v.asInstanceOf[UTF8String])
 
   protected def evalImpl(s: UTF8String): UTF8String
 
@@ -82,8 +83,11 @@ object textFunctions {
   /** register md_to_text / md_to_html / html_to_md for SQL use */
   def registerAll(spark: org.apache.spark.sql.SparkSession): Unit = {
     val r = spark.sessionState.functionRegistry
-    r.createOrReplaceTempFunction("md_to_text", es => MdToText(es.head), "built-in")
-    r.createOrReplaceTempFunction("md_to_html", es => MdToHtml(es.head), "built-in")
-    r.createOrReplaceTempFunction("html_to_md", es => HtmlToMd(es.head), "built-in")
+    r.createOrReplaceTempFunction(
+      "md_to_text", FnArity.unary("md_to_text")(MdToText), "built-in")
+    r.createOrReplaceTempFunction(
+      "md_to_html", FnArity.unary("md_to_html")(MdToHtml), "built-in")
+    r.createOrReplaceTempFunction(
+      "html_to_md", FnArity.unary("html_to_md")(HtmlToMd), "built-in")
   }
 }

@@ -90,6 +90,10 @@ object DataGen {
     val sb = new java.lang.StringBuilder(target + 128)
     sb.append("// lang: ").append(lang).append('\n')
     sb.append("package com.example.").append(pkgs(rng.nextInt(pkgs.length))).append('\n')
+    // the loop below appends whole lines, overshooting `target` by up to a
+    // line — the truncation at the end makes `target` EXACT, so the
+    // near-max edge row stays inside the documented 64 KiB content cap
+    // (line bodies are ASCII: cutting mid-line can never split a surrogate)
     while (sb.length < target) {
       val indent = "  " * rng.nextInt(3)
       sb.append(indent)
@@ -119,6 +123,7 @@ object DataGen {
           .append(idents(rng.nextInt(idents.length))).append('\n')
       }
     }
+    if (sb.length > target) sb.setLength(target)
     sb.toString
   }
 

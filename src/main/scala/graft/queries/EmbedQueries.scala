@@ -100,7 +100,11 @@ object EmbedQueries {
             var j = 0
             val pl = planes(b * bits + p)
             while (j < dim && j < emb.length) { dot += pl(j) * emb(j); j += 1 }
-            if (dot >= 0) sig |= (1 << p)
+            // NaN-proof sign test: embeddings are finite by the generator's
+            // contract, but if a NaN ever slipped in, Java's `NaN >= 0` is
+            // false while DuckDB's replay treats NaN as greatest (true) —
+            // match the oracle rather than diverge silently
+            if (java.lang.Double.isNaN(dot) || dot >= 0) sig |= (1 << p)
             p += 1
           }
           (id, b, sig)
@@ -223,7 +227,12 @@ object EmbedQueries {
           var dot = 0.0
           j = 0
           while (j < a.length && j < v.length) { dot += v(j).toDouble * a(j); j += 1 }
-          cos(i) = dot / (vNorm * aNorm)
+          // a zero-norm vector or anchor makes 0/0 = NaN, and JVM argmax
+          // (NaN loses every >) would diverge from the oracle's ORDER BY
+          // (DuckDB sorts NaN greatest) — pin the degenerate case to -1 on
+          // BOTH sides (OracleSql mirrors this CASE) so it sorts last
+          val den = vNorm * aNorm
+          cos(i) = if (den == 0) -1.0 else dot / den
           i += 1
         }
         // argmax, ties to the smaller cell id (ascending scan, strict >)

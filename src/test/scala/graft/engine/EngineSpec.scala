@@ -51,6 +51,19 @@ class EngineSpec extends AnyFunSuite {
     assert(Sha256Check.mismatchGroups(df, decoded, cols) == 0)
   }
 
+  test("generated content respects the 64 KiB fixture envelope exactly") {
+    // FIXTURES §1: content is 200 B–64 KiB with a near-max edge row every
+    // 10007 rows — genContent appends whole lines, so without the trailing
+    // truncation the edge row overshot the documented cap by up to a line
+    val edge = graft.gen.DataGen.row(3L, graft.gen.DataGen.GenConfig(rows = 10))
+    assert(edge.content.length == 64 * 1024,
+      s"near-max row must sit exactly at the cap, got ${edge.content.length}")
+    (0L until 50L).foreach { i =>
+      val r = graft.gen.DataGen.row(i, graft.gen.DataGen.GenConfig(rows = 50))
+      assert(r.content.length <= 64 * 1024)
+    }
+  }
+
   test("every codec family appears across the generated table's columns") {
     val df = genDf(5000)
     val blocks = Encoder.encode(df, cols, sortKeys, cfg)

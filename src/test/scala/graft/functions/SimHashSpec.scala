@@ -73,5 +73,41 @@ class SimHashSpec extends AnyFunSuite {
     val viaSql = spark.sql("SELECT simhash64(t) AS h FROM simhash_in").collect()
     assert(viaSql.map(_.getLong(0)).toSeq ==
       Seq(SimHashImpl.hashString("a b c"), SimHashImpl.hashString("d e f")))
+
+    // arity is checked on THIS registration path too: an extra argument
+    // must fail analysis, not silently hash only the first one
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT simhash64(t, t) FROM simhash_in").collect()
+    }
+    assert(e.getMessage.contains("simhash64"))
+  }
+
+  test("arrayhash64 nulls out arrays containing a null element") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Seq[java.lang.Long](1L, 2L)),
+      (2L, Seq[java.lang.Long](1L, null)),
+      (3L, Seq[java.lang.Long](1L, 0L))).toDF("id", "a")
+    val out = df.select(col("id"),
+        graft.functions.minhashFunctions.arrayhash64(col("a")).as("h"))
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1))))
+      .toMap
+    assert(out(1L).isDefined)
+    assert(out(2L).isEmpty, "a null element must yield NULL, not hash-as-0")
+    assert(out(3L).isDefined && out(2L) != out(3L),
+      "null-vs-0 positions must not collide")
+  }
+
+  test("seedhash64 widens a SQL integer-literal seed to long") {
+    import spark.implicits._
+    Seq("abc").toDF("t").createOrReplaceTempView("seedhash_in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "seedhash64",
+      graft.functions.FnArity.binary("seedhash64")(graft.functions.SeedHash64),
+      "built-in")
+    val viaSql = spark.sql("SELECT seedhash64(t, 7) AS h FROM seedhash_in")
+      .collect().head.getLong(0)
+    assert(viaSql == graft.functions.MinHashImpl.hashSeed(
+      org.apache.spark.unsafe.types.UTF8String.fromString("abc"), 7L))
   }
 }

@@ -29,6 +29,10 @@ def norm(v):
 
 
 def cos(a, b, na, nb):
+    # zero-norm guard mirrors EmbedQueries/OracleSql: 0/0 would be NaN,
+    # which the JVM argmax and DuckDB's ORDER BY rank differently
+    if na * nb == 0:
+        return -1.0
     s = 0.0
     for x, y in zip(a, b):
         s += x * y
@@ -75,8 +79,9 @@ prm AS (SELECT LEAST(4096, GREATEST(8,
         FROM (SELECT count(*) AS cnt FROM e)),
 cap AS (SELECT 8 * ((cnt + cells - 1) // cells) AS cellcap FROM prm),
 sc AS (SELECT v.vec_id, a.vec_id AS cell_id,
-        list_sum(list_transform(range(1, 65), i -> v.emb[i] * a.emb[i]))
-          / (v.nrm * a.nrm) AS cos
+        CASE WHEN v.nrm * a.nrm = 0 THEN -1 ELSE
+          list_sum(list_transform(range(1, 65), i -> v.emb[i] * a.emb[i]))
+            / (v.nrm * a.nrm) END AS cos
        FROM n v, n a, prm WHERE a.vec_id < prm.cells),
 rk AS (SELECT vec_id, cell_id, cos,
         row_number() OVER (PARTITION BY vec_id
