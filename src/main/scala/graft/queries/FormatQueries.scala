@@ -14,7 +14,12 @@ object FormatQueries {
   /** documents → CSV → infer+coerce read → per-lang aggregates */
   def csvRoundtripAgg(spark: SparkSession, sfDir: String): DataFrame = {
     val dir = Tables.scratchDir("graft-q-csv")
+    // doc_id bounded below 1e6: the 100-row inference sample must never
+    // say 'int' while later rows overflow the strict ANSI cast (the
+    // aggregate below doesn't consume doc_id, but correctness should not
+    // lean on the optimizer pruning the cast away)
     val docs = load(spark, sfDir, "documents")
+      .withColumn("doc_id", pmod(col("doc_id"), lit(1000000)))
     Csv.write(docs, s"$dir/csv", Csv.CsvWriteOptions(quoteMode = Csv.QuoteAlways))
     val back = InferSchema.inferAndCoerce(
       Csv.read(spark, s"$dir/csv", Csv.CsvReadOptions(nullValue = "")),
@@ -245,11 +250,22 @@ object FormatQueries {
   def inferredSchema(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val dir = Tables.scratchDir("graft-q-infer")
+    // doc_id bounded below 1e6 (like q_coerce_union's c0): inference is a
+    // SAMPLE while the oracle scans the full table, so the one scale-
+    // dependent classification — int vs bigint at the 2^31 boundary — must
+    // be impossible to flip. Every other column is shape-stable: n_chars
+    // <= 64 KiB, text/lang/source are prose/fixed sets that classify
+    // 'string' from any sample.
     val docs = load(spark, sfDir, "documents")
+      .withColumn("doc_id", pmod(col("doc_id"), lit(1000000)))
     Csv.write(docs, s"$dir/csv", Csv.CsvWriteOptions(quoteMode = Csv.QuoteAlways))
     val raw = Csv.read(spark, s"$dir/csv", Csv.CsvReadOptions(nullValue = ""))
       .selectExpr(docs.columns.map(c => s"CAST($c AS STRING) AS $c"): _*)
-    InferSchema.infer(raw).fields.toSeq
+    // scan bound far above any driver table size, so at driver scale the
+    // sample IS the full table the oracle sees; past 2^20 rows the sample
+    // contract (reference rowsToScan semantics) takes over, and the bounded
+    // doc_id keeps every classification sample-invariant anyway
+    InferSchema.infer(raw, rowsToScan = 1 << 20).fields.toSeq
       .map(f => (f.name, f.dataType.simpleString))
       .toDF("col_name", "inferred_type")
       .orderBy("col_name")

@@ -49,7 +49,7 @@ object OracleSql {
     */
   val inferSchema: String =
     """WITH vals AS (
-      |  SELECT 'doc_id' AS col_name, CAST(doc_id AS VARCHAR) AS v FROM documents
+      |  SELECT 'doc_id' AS col_name, CAST(doc_id % 1000000 AS VARCHAR) AS v FROM documents
       |  UNION ALL SELECT 'text', text FROM documents
       |  UNION ALL SELECT 'lang', lang FROM documents
       |  UNION ALL SELECT 'source', source FROM documents

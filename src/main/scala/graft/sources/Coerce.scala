@@ -24,7 +24,11 @@ object Coerce {
       trueValues: Seq[String] = TrueValues,
       falseValues: Seq[String] = FalseValues,
       dateFormat: String = "yyyy-MM-dd", // :70
-      timestampFormat: String = "yyyy-MM-dd'T'HH:mm[:ss][.SSS][XXX]", // :78-93
+      // the whole time-of-day section is optional: inference merges
+      // DateType ∪ TimestampType to TimestampType, so a column mixing
+      // "2024-01-01" and "2024-01-01T10:00:00" must coerce BOTH shapes
+      // (date-only parses as midnight) rather than crash on the dates
+      timestampFormat: String = "yyyy-MM-dd['T'HH:mm[:ss][.SSS][XXX]]", // :78-93
       timeFormat: String = "HH:mm[:ss][.SSSSSS][.SSS]", // :72-76 timeFormatter
       decimalSeparator: Char = '.', // :286-292
       /** ERROR → plain cast (job fails on bad cell); SKIP/WARN → try-variant (null) */
@@ -82,10 +86,25 @@ object Coerce {
           else regexp_replace(c, java.util.regex.Pattern.quote(opts.decimalSeparator.toString), ".")
         castOr(normalized, if (target == FloatType) "float" else "double")
       case d: DecimalType => castOr(c, s"decimal(${d.precision},${d.scale})")
-      case DateType => to_date(c, opts.dateFormat)
-      case TimestampType => to_timestamp(c, opts.timestampFormat)
-      // Avro local-timestamp (no zone) ≙ AvroConverter.java:246-249
-      case TimestampNTZType => to_timestamp_ntz(c, lit(opts.timestampFormat))
+      // the time targets honor `strict` like every cast above: under ANSI
+      // (Spark 4 default) plain to_date/to_timestamp THROW on a bad cell,
+      // which is the ERROR contract — SKIP/WARN must null instead (this is
+      // also what lets cellUnion fall through to a later member)
+      case DateType =>
+        if (opts.strict) to_date(c, opts.dateFormat)
+        else try_to_timestamp(c, lit(opts.dateFormat)).cast("date")
+      case TimestampType =>
+        if (opts.strict) to_timestamp(c, opts.timestampFormat)
+        else try_to_timestamp(c, lit(opts.timestampFormat))
+      // Avro local-timestamp (no zone) ≙ AvroConverter.java:246-249.
+      // No try_to_timestamp_ntz exists: probe validity with the tz variant
+      // (same pattern), and only parse as NTZ where the probe succeeded —
+      // CaseWhen evaluates the branch value lazily, so the ANSI-throwing
+      // parse never runs on a bad cell
+      case TimestampNTZType =>
+        if (opts.strict) to_timestamp_ntz(c, lit(opts.timestampFormat))
+        else when(try_to_timestamp(c, lit(opts.timestampFormat)).isNotNull,
+          to_timestamp_ntz(c, lit(opts.timestampFormat)))
       case StringType => c
       case BinaryType => c.cast("binary")
       case other => throw new IllegalArgumentException(s"unsupported coercion target $other")
@@ -113,8 +132,11 @@ object Coerce {
         orFail(c.isin(symbols.map(lit): _*), c, "enum")
       case "fixed" => // ≙ complexFixed (:471-483): exact byte length
         val n = field.metadata.getLong(FixedSizeKey)
-        val b = c0.cast("binary")
-        when(c0.isNull, lit(null))
+        // from the NULLIFIED string, like every other logical type: a
+        // null-sentinel literal whose byte length happens to equal n
+        // ("null" into fixed(4)) must become NULL, not be stored as data
+        val b = c.cast("binary")
+        when(c.isNull, lit(null))
           .when(length(b) === n, b)
           .otherwise(if (opts.strict)
             raise_error(concat(lit(s"invalid fixed($n) length: "), length(b).cast("string")))

@@ -33,7 +33,11 @@ object InferSchema {
     if (opts.trueValues.contains(t.toLowerCase) || opts.falseValues.contains(t.toLowerCase))
       return BooleanType
     if (t.matches("\\d{4}-\\d{2}-\\d{2}")) return DateType
-    if (t.matches("\\d{4}-\\d{2}-\\d{2}[T ]\\d{2}:\\d{2}(:\\d{2})?(\\.\\d+)?(Z|[+-]\\d{2}:?\\d{2})?"))
+    // accept EXACTLY the shapes CoerceOptions.timestampFormat parses
+    // ('T' separator, 3-digit fraction, colon offset or Z) — a looser
+    // regex here would classify values the coercion pass then fails on
+    // (inference says timestamp, ANSI to_timestamp throws on the value)
+    if (t.matches("\\d{4}-\\d{2}-\\d{2}T\\d{2}:\\d{2}(:\\d{2})?(\\.\\d{3})?(Z|[+-]\\d{2}:\\d{2})?"))
       return TimestampType
     StringType
   }

@@ -63,6 +63,34 @@ class CoerceSpec extends AnyFunSuite {
     assert(ts.first().getTimestamp(0).toInstant.toString == "2017-02-07T11:23:39Z")
   }
 
+  test("date-only values coerce under the merged TimestampType") {
+    // infer merges DateType ∪ TimestampType to TimestampType, so the
+    // timestamp format must accept both shapes (date-only = midnight)
+    val mixed = strDf(Seq("2024-01-01", "2024-01-01T10:00:00"))
+    val out = mixed.select(Coerce.cell(col("c"), TimestampType).as("c")).collect()
+    assert(!out(0).isNullAt(0) && !out(1).isNullAt(0))
+    assert(out(0).getTimestamp(0).toString.startsWith("2024-01-01 00:00:00"))
+  }
+
+  test("lenient time targets null bad cells instead of throwing under ANSI") {
+    val lax = Coerce.CoerceOptions(strict = false)
+    val bad = strDf(Seq("2024-01-01", "not-a-date"))
+    val dates = bad.select(Coerce.cell(col("c"), DateType, lax).as("c")).collect()
+    assert(dates(0).getDate(0).toString == "2024-01-01" && dates(1).isNullAt(0))
+    val tss = bad.select(Coerce.cell(col("c"), TimestampType, lax).as("c")).collect()
+    assert(!tss(0).isNullAt(0) && tss(1).isNullAt(0))
+    val ntzs = bad.select(Coerce.cell(col("c"), TimestampNTZType, lax).as("c")).collect()
+    assert(!ntzs(0).isNullAt(0) && ntzs(1).isNullAt(0))
+    // and strict still fails loudly (the ERROR contract)
+    intercept[Exception] {
+      bad.select(Coerce.cell(col("c"), DateType).as("c")).collect()
+    }
+    // union fall-through depends on the lax time path nulling, not throwing
+    val u = Coerce.cellUnion(col("c"), Seq(DateType, StringType))
+    val viaUnion = bad.select(u.as("c")).collect()
+    assert(viaUnion(1).getString(0) == "not-a-date")
+  }
+
   test("strict mode fails on a bad cell; lenient nulls it (onBadLines)") {
     val bad = strDf(Seq("12", "not-a-number"))
     val lenient = Coerce.frame(bad, StructType(Seq(StructField("c", IntegerType))),
@@ -91,6 +119,11 @@ class CoerceSpec extends AnyFunSuite {
     assert(classify("true", o) == BooleanType)
     assert(classify("2024-01-02", o) == DateType)
     assert(classify("2024-01-02T03:04:05Z", o) == TimestampType)
+    // shapes the default timestampFormat can NOT parse must classify as
+    // string — otherwise inference promises a type coercion then fails on
+    assert(classify("2024-01-02 03:04:05", o) == StringType) // space separator
+    assert(classify("2024-01-02T03:04:05+0530", o) == StringType) // no-colon offset
+    assert(classify("2024-01-02T03:04:05.12", o) == StringType) // 2-digit fraction
     assert(classify("hello", o) == StringType)
     assert(classify("NA", o) == NullType)
   }
@@ -161,6 +194,10 @@ class CoerceSpec extends AnyFunSuite {
     intercept[Exception] {
       Coerce.frame(strDf(Seq("ab")), target).collect()
     }
+    // a null-sentinel literal of exactly n bytes must normalize to NULL,
+    // not be stored as the bytes of the sentinel ("null" is 4 bytes)
+    val sentinel = Coerce.frame(strDf(Seq("null")), target).collect()
+    assert(sentinel(0).isNullAt(0))
   }
 
   test("time-millis/micros: LocalTime semantics incl. offset drop (LogicalTimeTest)") {
