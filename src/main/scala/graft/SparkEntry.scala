@@ -56,6 +56,7 @@ object SparkEntry {
     "q_embed_lsh_buckets" -> (EmbedQueries.lshBuckets _),
     "q_embed_ivf_topk" -> (EmbedQueries.ivfTopK _),
     "q_embed_neardup" -> (EmbedQueries.nearDupPairs _),
+    "q_neardup_clusters" -> (EmbedQueries.nearDupClusters _),
     // format serde round-trips (reference task surface)
     "q_csv_roundtrip" -> (FormatQueries.csvRoundtripAgg _),
     "q_yaml_roundtrip" -> (FormatQueries.yamlRoundtripAgg _),
@@ -165,6 +166,7 @@ object SparkEntry {
     "q_embed_lsh_buckets" -> OracleSql.embedLshBuckets(),
     "q_embed_ivf_topk" -> OracleSql.embedIvfTopK,
     "q_embed_neardup" -> OracleSql.embedNearDup(),
+    "q_neardup_clusters" -> OracleSql.nearDupClusters(),
     "q_csv_roundtrip" ->
       """SELECT lang, count(*) AS cnt, CAST(sum(n_chars) AS BIGINT) AS total_chars
         |FROM documents GROUP BY lang""".stripMargin,

@@ -281,20 +281,27 @@ object EmbedQueries {
     * sort — the rank window runs AFTER the limit, over ≤ NearDupTopN
     * rows. The dedup-pipeline complement of lshTopK's per-query search.
     */
-  def nearDupPairs(spark: SparkSession, sfDir: String): DataFrame = {
-    val base = load(spark, sfDir, "embeddings").select(col("vec_id"), col("embedding"))
-    val n = base.count()
+  /** capped-bucket candidate pairs (id_a < id_b, each pair once) — shared
+    * by the near-dup pair report and the clustering query
+    */
+  private def candidatePairs(base: DataFrame, n: Long): DataFrame = {
     val bands = bandSignatures(base, lshBitsFor(n))
     val okBuckets = bands.groupBy(col("band"), col("sig"))
       .agg(count(lit(1)).as("bsz"))
       .where(col("bsz") <= LshBucketCap && col("bsz") >= 2)
       .select("band", "sig")
     val inBuckets = bands.join(okBuckets, Seq("band", "sig"))
-    val pairs = inBuckets.as("x").join(
+    inBuckets.as("x").join(
         inBuckets.as("y"), col("x.band") === col("y.band") &&
           col("x.sig") === col("y.sig") && col("x.vec_id") < col("y.vec_id"))
       .select(col("x.vec_id").as("id_a"), col("y.vec_id").as("id_b"))
       .distinct()
+  }
+
+  def nearDupPairs(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = load(spark, sfDir, "embeddings").select(col("vec_id"), col("embedding"))
+    val n = base.count()
+    val pairs = candidatePairs(base, n)
     val vecs = withNorm(base)
     val scored = pairs
       .join(vecs.as("va"), col("id_a") === col("va.vec_id"))
@@ -308,6 +315,69 @@ object EmbedQueries {
       .select(col("id_a"), col("id_b"), col("rnk"),
         round(col("cos") * 1000000).cast("long").as("cos_r6"))
       .orderBy("rnk")
+  }
+
+  /** clustering threshold on exact cosine — ORACLE-COUPLED
+    * (OracleSql.nearDupClusters replays the comparison; the synthetic
+    * embeddings' candidate cosines top out around 0.49, so 0.40 yields
+    * non-trivial clusters at every driver scale)
+    */
+  val ClusterTau = 0.40
+
+  /** Near-duplicate CLUSTERS: connected components over the graph of
+    * capped-bucket candidate pairs whose exact cosine >= ClusterTau,
+    * labels = min vec_id of the component (the canonical representative a
+    * dedup pipeline keeps). Computed by min-label propagation to fixpoint:
+    * each round is one hash join + one aggregate over the thresholded pair
+    * graph — the graph is bounded by the LSH caps at ANY corpus size, and
+    * rounds are bounded by the largest component's diameter (near-dup
+    * components are short chains in practice). localCheckpoint truncates
+    * the plan between rounds so lineage stays O(1) instead of O(rounds).
+    * Exactly mirrored by the oracle's recursive reachability closure
+    * (validated in tools/oracle_proto7.py).
+    */
+  def nearDupClusters(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = load(spark, sfDir, "embeddings").select(col("vec_id"), col("embedding"))
+    val n = base.count()
+    val vecs = withNorm(base)
+    // zero-norm guard mirrors the oracle's CASE: Spark SQL ranks NaN above
+    // any threshold (NaN is greatest) while the CASE pins it to -1
+    val den = col("va.norm") * col("vb.norm")
+    val cosG = when(den === 0, lit(-1.0)).otherwise(cosine("va", "vb"))
+    val pairs = candidatePairs(base, n)
+      .join(vecs.as("va"), col("id_a") === col("va.vec_id"))
+      .join(vecs.as("vb"), col("id_b") === col("vb.vec_id"))
+      .where(cosG >= ClusterTau)
+      .select(col("id_a"), col("id_b"))
+      .persist()
+    val verts = pairs.select(col("id_a").as("v"))
+      .union(pairs.select(col("id_b").as("v"))).distinct()
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .persist()
+    var labels = verts.select(col("v"), col("v").as("lbl")).localCheckpoint()
+    var changed = 1L
+    var iter = 0
+    while (changed > 0) {
+      iter += 1
+      // diameter bound: min-label propagation converges in O(diameter)
+      // rounds; 64 rounds of shrinking labels means a pathological graph,
+      // not slow convergence — fail loudly rather than loop
+      require(iter <= 64, "near-dup label propagation did not converge")
+      val prop = edges.join(labels, col("src") === col("v"))
+        .select(col("dst").as("v"), col("lbl"))
+      val next = labels.select(col("v"), col("lbl")).union(prop)
+        .groupBy("v").agg(min(col("lbl")).as("lbl")).localCheckpoint()
+      changed = next.as("nx").join(labels.as("ol"), Seq("v"))
+        .where(col("nx.lbl") =!= col("ol.lbl")).count()
+      labels = next
+    }
+    edges.unpersist()
+    pairs.unpersist()
+    labels.groupBy(col("lbl"))
+      .agg(count(lit(1)).as("csize"), sum(col("v")).as("member_sum"))
+      .select(col("lbl").as("cluster_id"), col("csize"), col("member_sum"))
+      .orderBy("cluster_id")
   }
 
   /** per-band LSH bucket histogram (bucket-size distribution — skew

@@ -346,6 +346,43 @@ object OracleSql {
          |SELECT id_a, id_b, rnk, CAST(round(cos * 1000000) AS BIGINT) AS cos_r6
          |FROM r WHERE rnk <= ${EmbedQueries.NearDupTopN} ORDER BY rnk""".stripMargin
 
+  /** q_neardup_clusters: connected components over the thresholded
+    * near-dup pair graph — same candidate pairs as q_embed_neardup, kept
+    * when exact cosine >= EmbedQueries.ClusterTau, then a RECURSIVE
+    * reachability closure labels every vertex with the min vec_id it can
+    * reach (identical to Spark's min-label fixpoint). Validated against
+    * the python union-find mirror in tools/oracle_proto7.py.
+    */
+  def nearDupClusters(maxBits: Int = EmbedQueries.MaxLshBits): String =
+    "WITH RECURSIVE " + embedLshCommon(maxBits).stripPrefix("WITH ") +
+      s""",
+         |ok AS (SELECT b, s FROM sig GROUP BY b, s
+         |       HAVING count(*) >= 2 AND count(*) <= ${EmbedQueries.LshBucketCap}),
+         |inb AS (SELECT vec_id, b, s FROM sig JOIN ok USING (b, s)),
+         |cand AS (
+         |  SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+         |  FROM inb x JOIN inb y USING (b, s) WHERE x.vec_id < y.vec_id),
+         |nrm AS (SELECT vec_id, emb,
+         |          sqrt(list_sum(list_transform(emb, x -> x * x))) AS nm FROM e),
+         |prs AS (
+         |  SELECT id_a, id_b FROM cand
+         |  JOIN nrm a ON a.vec_id = id_a JOIN nrm b2 ON b2.vec_id = id_b
+         |  WHERE CASE WHEN a.nm * b2.nm = 0 THEN -1 ELSE
+         |    list_sum(list_transform(range(1, 65), j -> a.emb[j] * b2.emb[j]))
+         |      / (a.nm * b2.nm) END >= CAST(${EmbedQueries.ClusterTau} AS DOUBLE)),
+         |verts AS (SELECT DISTINCT v FROM
+         |  (SELECT id_a AS v FROM prs UNION ALL SELECT id_b FROM prs)),
+         |edg AS (SELECT id_a AS src, id_b AS dst FROM prs
+         |        UNION ALL SELECT id_b, id_a FROM prs),
+         |reach(v, u) AS (
+         |  SELECT v, v FROM verts
+         |  UNION
+         |  SELECT r.v, e2.dst FROM reach r JOIN edg e2 ON e2.src = r.u)
+         |SELECT CAST(u AS BIGINT) AS cluster_id, CAST(count(*) AS BIGINT) AS csize,
+         |  CAST(sum(v) AS BIGINT) AS member_sum
+         |FROM (SELECT v, min(u) AS u FROM reach GROUP BY v) labels
+         |GROUP BY u ORDER BY 1""".stripMargin
+
   /** q_embed_lsh_topk: bucket-capped candidates + exact cosine re-rank */
   def embedLshTopK(maxBits: Int = EmbedQueries.MaxLshBits): String =
     embedLshCommon(maxBits) +

@@ -95,6 +95,46 @@ class EmbedScaleSpec extends AnyFunSuite {
     assert(cs == cs.sorted.reverse, "cos_r6 must be non-increasing by rank")
   }
 
+  test("near-dup clusters: planted duplicate CHAINS become one component") {
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    val n = 2000
+    val dir = java.nio.file.Files.createTempDirectory("graft-clusters").toString
+    // vectors 1000+q AND 1500+q are perturbed copies of query q (q < 10):
+    // three mutually-near vectors per plant — label propagation must merge
+    // the whole chain to min id q even when only (q,1000+q) and (q,1500+q)
+    // share buckets (transitivity through q)
+    spark.range(0, n, 1, 8).map { i =>
+      val src: Long =
+        if (i >= 1000 && i < 1010) i - 1000
+        else if (i >= 1500 && i < 1510) i - 1500
+        else i.toLong
+      val rng = new java.util.SplittableRandom(7L * src + 13)
+      val base = Array.fill(64)((rng.nextDouble() * 2 - 1).toFloat)
+      val emb = if (src == i) base else {
+        val jit = new java.util.SplittableRandom(99L * i)
+        base.map(x => x + (jit.nextDouble() * 0.02 - 0.01).toFloat)
+      }
+      (i, emb, (i % 10).toInt)
+    }.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+
+    val rows = EmbedQueries.nearDupClusters(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // most planted triples must collapse into a component labeled q (the
+    // min id) holding AT LEAST the three plants — random background pairs
+    // above tau can legitimately chain extra members in, so sizes are a
+    // lower bound, not an equality
+    val full = (0L until 10L).count(q => rows.get(q).exists(_._1 >= 3))
+    assert(full >= 8, s"only $full/10 planted triples clustered under q: $rows")
+    // every cluster has >= 2 members and is labeled by its min member:
+    // distinct members all >= cid with cid itself present, so the sum
+    // strictly exceeds cid * size for any size >= 2
+    assert(rows.forall { case (cid, (size, memberSum)) =>
+      size >= 2 && memberSum > cid * size
+    })
+  }
+
   test("mean bucket size stays near the target as the corpus grows 16x") {
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
