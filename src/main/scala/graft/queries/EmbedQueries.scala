@@ -350,15 +350,33 @@ object EmbedQueries {
       .where(cosG >= ClusterTau)
       .select(col("id_a"), col("id_b"))
       .persist()
+    // partitioning ADAPTED to the measured graph size: the thresholded
+    // pair graph is tiny at driver scale (a handful of tasks per round
+    // instead of 32 nearly-empty ones) and grows with the corpus at 100×
+    // (~500k edges per partition, capped at the executor parallelism)
+    val nEdges = pairs.count()
+    val parts = math.max(1L, math.min(
+      spark.sparkContext.defaultParallelism.toLong, nEdges / 500000L + 1)).toInt
     val verts = pairs.select(col("id_a").as("v"))
       .union(pairs.select(col("id_b").as("v"))).distinct()
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .repartition(parts, col("src"))
       .persist()
-    var labels = verts.select(col("v"), col("v").as("lbl")).localCheckpoint()
-    var changed = 1L
+    // ONE Spark job per propagation round: the new labels are a LAZY
+    // localCheckpoint (lineage truncation without an extra materialization
+    // job), and convergence is read off the same action that materializes
+    // them — labels only ever DECREASE, so the label sum (exact in
+    // decimal(38), sums of 64-bit ids cannot overflow it) is strictly
+    // monotone and a fixpoint is exactly "sum unchanged"
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("lbl").cast("decimal(38,0)"))).first().getDecimal(0)
+    var labels = verts.select(col("v"), col("v").as("lbl"))
+      .repartition(parts, col("v")).localCheckpoint()
+    var prevSum = labelSum(labels)
+    var converged = prevSum == null // empty graph: nothing to propagate
     var iter = 0
-    while (changed > 0) {
+    while (!converged) {
       iter += 1
       // diameter bound: min-label propagation converges in O(diameter)
       // rounds; 64 rounds of shrinking labels means a pathological graph,
@@ -367,9 +385,11 @@ object EmbedQueries {
       val prop = edges.join(labels, col("src") === col("v"))
         .select(col("dst").as("v"), col("lbl"))
       val next = labels.select(col("v"), col("lbl")).union(prop)
-        .groupBy("v").agg(min(col("lbl")).as("lbl")).localCheckpoint()
-      changed = next.as("nx").join(labels.as("ol"), Seq("v"))
-        .where(col("nx.lbl") =!= col("ol.lbl")).count()
+        .groupBy("v").agg(min(col("lbl")).as("lbl"))
+        .localCheckpoint(eager = false)
+      val s = labelSum(next)
+      converged = s == prevSum
+      prevSum = s
       labels = next
     }
     edges.unpersist()
