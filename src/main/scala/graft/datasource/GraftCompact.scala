@@ -40,6 +40,71 @@ object GraftCompact {
 
   val JournalName = "_compact.json"
 
+  /** Per-query high-water marks of streaming epochs whose markers were
+    * swept by compaction: `{"<qTag>": maxEpoch}` in the blocks dir. A sink
+    * epoch without a marker at or below its query's mark is a REPLAY of a
+    * compacted epoch (its files were merged away) — the sink refuses it
+    * loudly instead of re-publishing duplicate rows. Without the sweep,
+    * `_epoch-*` markers accumulate one per epoch forever and planning-time
+    * listings stay O(total epochs ever) even right after a compaction.
+    */
+  val EpochTombstone = "_epochs-compacted.json"
+  private val EpochMarkerRe = "_epoch-q([0-9a-fA-F]+)-e(\\d+)\\.json".r
+
+  /** the swept high-water mark for a sink query, if any */
+  def compactedEpochMax(conf: Configuration, blocksDir: Path, qTag: String): Option[Long] = {
+    val f = new Path(blocksDir, EpochTombstone)
+    val fs = f.getFileSystem(conf)
+    if (!fs.exists(f)) return None
+    try {
+      val in = fs.open(f)
+      val root = try new com.fasterxml.jackson.databind.ObjectMapper().readTree(in)
+        finally in.close()
+      Option(root.get(qTag)).map(_.asLong())
+    } catch { case _: Exception => None }
+  }
+
+  /** record per-query max epochs into the tombstone (max-merged with any
+    * existing one, temp-then-rename), then delete the swept markers —
+    * markers that don't parse are left alone rather than silently dropped
+    */
+  private def sweepEpochMarkers(conf: Configuration, blocksDir: Path): Unit = {
+    val fs = blocksDir.getFileSystem(conf)
+    val parsed = fs.listStatus(blocksDir).map(_.getPath)
+      .flatMap(p => p.getName match {
+        case EpochMarkerRe(tag, epoch) => Some((p, tag, epoch.toLong))
+        case _ => None
+      })
+    if (parsed.isEmpty) return
+    val maxes = scala.collection.mutable.HashMap.empty[String, Long]
+    parsed.foreach { case (_, tag, e) =>
+      maxes(tag) = math.max(e, maxes.getOrElse(tag, Long.MinValue))
+    }
+    val f = new Path(blocksDir, EpochTombstone)
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    if (fs.exists(f)) {
+      try {
+        val in = fs.open(f)
+        val root = try mapper.readTree(in) finally in.close()
+        root.fieldNames().forEachRemaining { tag =>
+          val old = root.get(tag).asLong()
+          maxes(tag) = math.max(old, maxes.getOrElse(tag, Long.MinValue))
+        }
+      } catch { case _: Exception => /* rewrite from the markers we have */ }
+    }
+    val out = mapper.createObjectNode()
+    maxes.toSeq.sortBy(_._1).foreach { case (tag, e) => out.put(tag, e) }
+    val tmp = new Path(blocksDir, EpochTombstone + ".tmp")
+    val os = fs.create(tmp, true)
+    try os.write(mapper.writeValueAsBytes(out)) finally os.close()
+    if (fs.exists(f)) fs.delete(f, false)
+    if (!fs.rename(tmp, f))
+      throw new java.io.IOException(s"epoch tombstone rename failed in $blocksDir")
+    // markers die only AFTER the tombstone covers them: a crash mid-sweep
+    // leaves some markers behind (harmless — the next sweep re-merges)
+    parsed.foreach { case (p, _, _) => fs.delete(p, false) }
+  }
+
   final case class PartReport(
       partId: Int, filesBefore: Int, filesAfter: Int,
       bytesBefore: Long, bytesAfter: Long, blockGroups: Int)
@@ -64,11 +129,17 @@ object GraftCompact {
         fs.listStatus(new Path(p)).count(_.getPath.getName.endsWith(".parquet")) > 1))
       graft.engine.StoreMeta.clearSortKeys(
         spark.sparkContext.hadoopConfiguration, dir.toString)
-    spark.sparkContext
+    val reports = spark.sparkContext
       .parallelize(partDirs.toIndexedSeq, math.max(1, partDirs.length))
       .map(compactPartition)
       .collect()
       .toIndexedSeq
+    // every partition rewrote successfully: fold the streaming epoch
+    // markers into the tombstone and sweep them, so listings shrink to
+    // O(files) again (the whole point of compacting) and a replay of a
+    // merged epoch refuses via the tombstone instead of re-publishing
+    sweepEpochMarkers(spark.sparkContext.hadoopConfiguration, dir)
+    reports
   }
 
   /** roll an interrupted compaction forward or back in every partition */
@@ -96,9 +167,15 @@ object GraftCompact {
       return PartReport(partId, files.length, files.length, bytesBefore, bytesBefore, 0)
 
     // deterministic output name (idempotent retries overwrite the same
-    // in-progress path, never collide with an input)
-    val tag = Integer.toHexString(
+    // in-progress path). The 32-bit name hash CAN collide with a PRIOR
+    // compaction's output now sitting among the inputs — publishing onto an
+    // input would make the input sweep (or a recovery roll-forward) delete
+    // the only copy of its rows — so extend the tag until it clears the
+    // input set (still a pure function of the inputs, so retries agree)
+    var tag = Integer.toHexString(
       java.util.Arrays.hashCode(files.map(_.getPath.getName.hashCode)))
+    val inputNames = files.map(_.getPath.getName).toSet
+    while (inputNames.contains(s"part-compact-$tag.parquet")) tag += "x"
     val outFile = new Path(dir, s"part-compact-$tag.parquet")
     val inProgress = new Path(dir, s"part-compact-$tag.inprogress")
 

@@ -73,6 +73,37 @@ object GraftDataSource {
   private[datasource] def activeHadoopConf(): Configuration =
     org.apache.spark.sql.SparkSession.active.sparkContext.hadoopConfiguration
 
+  /** Blocks dir the WRITE side must target — the same resolution the
+    * readers use, so a store addressed by its blocks directory is extended
+    * IN PLACE instead of silently nesting a second store under it (the
+    * nested dir would win every later blocksDir() resolution and hide all
+    * pre-existing rows). A fresh path gets the canonical <path>/blocks
+    * layout. Driver-side only (resolution needs the session conf).
+    */
+  private[datasource] def blocksDirForWrite(path: String): Path = {
+    val conf = activeHadoopConf()
+    val root = new Path(path)
+    val fs = root.getFileSystem(conf)
+    val nested = new Path(root, "blocks")
+    if (fs.exists(nested)) nested
+    else if (fs.exists(root) && fs.listStatus(root).exists { st =>
+      st.getPath.getName.startsWith("partId=") ||
+        st.getPath.getName == graft.engine.StoreMeta.FormatFile
+    }) root
+    else nested
+  }
+
+  /** Store root (the Checkpoint outDir) for a resolved blocks dir — where
+    * the manifest and the resumable encoder's completeness marker live.
+    * Mirrors the reader-side manifest resolution: when the given path IS
+    * the blocks dir, they sit beside it, not under it.
+    */
+  private[datasource] def storeRootFor(path: String, blocks: Path): Path = {
+    val root = new Path(path)
+    if (blocks.toString == root.toString && root.getParent != null) root.getParent
+    else root
+  }
+
   /** column names from the block store — METADATA-ONLY on the driver: one
     * partition dir lists every column (the encoder writes all columns per
     * partition), and the parquet read schema projects just `colName`, so no
@@ -160,6 +191,9 @@ class GraftScanBuilder(path: String, schema: StructType)
   private var countStar = false
   private var aggSpecs: Seq[GraftAgg] = Nil
   private var limit: Int = -1
+  // non-empty iff `limit` came from pushTopN: the sort-marker snapshot the
+  // push validated, re-verified at scan time (see pushTopN)
+  private var topNKeys: Seq[String] = Nil
 
   /** LIMIT n: each partition reader stops after emitting n matching rows —
     * on a huge store that means decoding one block group instead of the
@@ -201,6 +235,13 @@ class GraftScanBuilder(path: String, schema: StructType)
         .count(_.getPath.getName.endsWith(".parquet")) > 1)
     if (multiFile) return false
     limit = n
+    // snapshot the marker the push was validated against: the conditions
+    // are RE-CHECKED at scan time against the same cached listing the
+    // readers use (GraftScan.effectiveLimit) — a concurrent append between
+    // this push and the scan clears the marker / adds a second file, and
+    // an early stop would then return the head of interleaved runs, not
+    // the top-n. Plain LIMIT (topNKeys empty) is sound on any file set.
+    topNKeys = keys
     true
   }
 
@@ -261,7 +302,31 @@ class GraftScanBuilder(path: String, schema: StructType)
   override def supportCompletePushDown(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = false
 
+  /** A user-supplied schema (supportsExternalMetadata) can name columns the
+    * store has NOWHERE: the cursor's per-partition absent→null convention
+    * (meant for a column missing from ONE partition) would silently serve
+    * all-nulls — and eq/in predicates on the ghost column would prune every
+    * block — so a typo'd column returns plausible-looking nothing instead
+    * of an error. Validate once per planned scan against the store's real
+    * column set; an empty store is fine (the scan yields no rows anyway).
+    */
+  private def validateColumns(): Unit = {
+    val asked = (required.fieldNames ++ pushed.flatMap(_.references)).toSet
+    if (asked.isEmpty) return
+    val actual =
+      try GraftDataSource.schemaFor(path).fieldNames.toSet
+      catch { case _: IllegalArgumentException => return /* no partitions yet */ }
+    val unknown = asked -- actual
+    if (unknown.nonEmpty)
+      throw new IllegalArgumentException(
+        s"column(s) ${unknown.toSeq.sorted.mkString(", ")} do not exist in " +
+          s"the graft store at $path (store columns: " +
+          s"${actual.toSeq.sorted.mkString(", ")}) — a user-supplied schema " +
+          "must name the store's columns")
+  }
+
   override def build(): Scan = {
+    validateColumns()
     if (countStar) GraftCountStarScan(path)
     else if (aggSpecs.nonEmpty) GraftAggScan(path, aggSpecs)
     else {
@@ -275,7 +340,7 @@ class GraftScanBuilder(path: String, schema: StructType)
         case In(a, vs) => GraftPred("in", a, null, vs.toSeq.map(_.asInstanceOf[String]))
         case IsNotNull(a) => GraftPred("notnull", a, null)
       }
-      GraftScan(path, required, preds, limit)
+      GraftScan(path, required, preds, limit, topNKeys)
     }
   }
 }
@@ -479,13 +544,15 @@ final class GraftAggReader(partition: GraftInputPartition, specs: Seq[GraftAgg])
          else cmp(pivot, exact) >= 0 || exact.startsWith(pivot))
       if (!mayBeat) return exact
       var r = exact
-      trunc.foreach { case (p, file, idx) =>
+      // resolve candidates grouped BY FILE — one footer open + one filtered
+      // pass per file, however many blocks tie on the pivot prefix
+      trunc.filter { case (p, _, _) =>
         // min: p extends pivot; max: additionally pivot may extend p
-        val related = p.startsWith(pivot) || (!min && pivot.startsWith(p))
-        if (related) {
-          val v = GraftAggReader.blockExtreme(file, partition.partId, col, idx, min)
-          if (v != null && (r == null || better(v, r))) r = v
-        }
+        p.startsWith(pivot) || (!min && pivot.startsWith(p))
+      }.groupBy(_._2).foreach { case (file, cands) =>
+        val v = GraftAggReader.blockExtremes(
+          file, partition.partId, col, cands.map(_._3), min)
+        if (v != null && (r == null || better(v, r))) r = v
       }
       r
     }
@@ -554,21 +621,27 @@ final class GraftAggReader(partition: GraftInputPartition, specs: Seq[GraftAgg])
 }
 
 object GraftAggReader {
-  /** exact min/max of ONE block's column values: record-filter the file to
-    * the single (colName, blockIdx) row, decode it, fold unsigned-lex
+  /** exact min/max across a SET of candidate blocks of one file's column:
+    * one footer open + one filtered pass resolves every candidate the file
+    * holds — a shared ≥23-char prefix can make EVERY block a candidate,
+    * and reopening the file per block would degrade the metadata-only
+    * aggregate to worse-than-full-scan I/O
     */
-  private[datasource] def blockExtreme(
-      file: String, partId: Int, col: String, blockIdx: Int, min: Boolean): String = {
-    import org.apache.parquet.filter2.predicate.FilterApi
-    val pred = FilterApi.and(
-      FilterApi.eq(FilterApi.binaryColumn("colName"),
-        org.apache.parquet.io.api.Binary.fromString(col)),
-      FilterApi.eq(FilterApi.intColumn("blockIdx"),
-        java.lang.Integer.valueOf(blockIdx)))
+  private[datasource] def blockExtremes(
+      file: String, partId: Int, col: String, blockIdxs: Seq[Int],
+      min: Boolean): String = {
+    import org.apache.parquet.filter2.predicate.{FilterApi, FilterPredicate}
+    val colPred = FilterApi.eq(FilterApi.binaryColumn("colName"),
+      org.apache.parquet.io.api.Binary.fromString(col))
+    val idxPred = blockIdxs
+      .map(i => FilterApi.eq(FilterApi.intColumn("blockIdx"),
+        java.lang.Integer.valueOf(i)): FilterPredicate)
+      .reduce(FilterApi.or(_, _))
     val reader = ParquetReader
       .builder(new GroupReadSupport(), new Path(file))
       .withConf(new Configuration())
-      .withFilter(org.apache.parquet.filter2.compat.FilterCompat.get(pred))
+      .withFilter(org.apache.parquet.filter2.compat.FilterCompat.get(
+        FilterApi.and(colPred, idxPred)))
       .build()
     var ext: Array[Byte] = null
     try {
@@ -592,9 +665,29 @@ object GraftAggReader {
 }
 
 final case class GraftScan(path: String, required: StructType, preds: Seq[GraftPred],
-    limit: Int = -1)
+    limit: Int = -1, topNKeys: Seq[String] = Nil)
     extends Scan with Batch with SupportsRuntimeFiltering
     with SupportsReportStatistics with SupportsReportOrdering {
+
+  /** A top-N early stop is only sound over the file set the readers will
+    * ACTUALLY read: re-validate the push-time conditions against the same
+    * cached listing (sort marker unchanged, still one file per partition).
+    * A concurrent append between pushTopN and this scan retracts the
+    * marker / adds files, and stopping early would return the head of two
+    * interleaved sorted runs — drop the limit instead (partial push means
+    * Spark still sorts and limits what it receives, so reading everything
+    * is always correct, just not early-stopped). A plain pushed LIMIT
+    * (topNKeys empty) is order-free and sound on any subset.
+    */
+  @transient private lazy val effectiveLimit: Int =
+    if (limit < 0 || topNKeys.isEmpty) limit
+    else {
+      val now = graft.engine.StoreMeta.readSortKeys(
+        GraftDataSource.activeHadoopConf(), GraftDataSource.blocksDir(path).toString)
+      val singleFile = cachedPartitions.forall(
+        _.asInstanceOf[GraftInputPartition].files.length <= 1)
+      if (now == topNKeys && singleFile) limit else -1
+    }
 
   /** Per-partition output ordering, reported ONLY when it provably holds:
     * the store carries a sorted-by marker (written by the sorted one-shot
@@ -834,7 +927,7 @@ final case class GraftScan(path: String, required: StructType, preds: Seq[GraftP
   override def planInputPartitions(): Array[InputPartition] = cachedPartitions
 
   override def createReaderFactory(): PartitionReaderFactory =
-    GraftReaderFactory(required.fieldNames, allPreds, limit)
+    GraftReaderFactory(required.fieldNames, allPreds, effectiveLimit)
 
   override def toMicroBatchStream(
       checkpointLocation: String): org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
@@ -1056,9 +1149,12 @@ private[datasource] final class GraftGroupCursor(
 
   private val eq: Map[String, String] =
     preds.collect { case GraftPred("eq", c, v, _) => c -> v }.toMap
-  private val inPreds: Seq[(String, Seq[Array[Byte]])] =
+  // probe values held as ARRAYS: the block-level mayContainAny probe runs
+  // once per block group, and re-materializing a capped 10k-value Seq into
+  // a fresh array per group is pure GC pressure on the pruning hot path
+  private val inPreds: Seq[(String, Array[Array[Byte]])] =
     preds.collect { case GraftPred("in", c, _, vs) =>
-      c -> vs.map(_.getBytes("UTF-8")) }
+      c -> vs.map(_.getBytes("UTF-8")).toArray }
 
   private val neededCols: Set[String] =
     requiredCols.toSet ++ preds.map(_.col)
@@ -1170,7 +1266,7 @@ private[datasource] final class GraftGroupCursor(
       val pruned = metaPruned || eqBytes.exists { case (k, v) =>
         cols.get(k).forall(b => !BlockCodec.mayContain(b, v))
       } || inPreds.exists { case (k, vs) =>
-        cols.get(k).forall(b => !BlockCodec.mayContainAny(b, vs.toArray))
+        cols.get(k).forall(b => !BlockCodec.mayContainAny(b, vs))
       }
       if (!pruned) {
         // 2. decode filter columns first, intersect matching row ids

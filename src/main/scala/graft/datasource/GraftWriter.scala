@@ -93,12 +93,15 @@ final class GraftStreamingWrite(path: String, schema: StructType, queryId: Strin
   private def hadoopConf =
     org.apache.spark.sql.SparkSession.active.sparkContext.hadoopConfiguration
 
+  // reader-convention resolution, like the batch writer — see GraftBatchWrite
+  private lazy val blocks: Path = GraftDataSource.blocksDirForWrite(path)
+  private lazy val storeRoot: Path = GraftDataSource.storeRootFor(path, blocks)
+
   override def createStreamingWriterFactory(
       info: PhysicalWriteInfo): StreamingDataWriterFactory =
-    GraftStreamingWriterFactory(path, qTag, schema.fieldNames)
+    GraftStreamingWriterFactory(blocks.toString, qTag, schema.fieldNames)
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
-    val blocks = new Path(path, "blocks")
     val fs = blocks.getFileSystem(hadoopConf)
     // refuse a store written under a different block layout; stamp ours
     graft.engine.StoreMeta.checkFormat(hadoopConf, blocks.toString)
@@ -106,12 +109,12 @@ final class GraftStreamingWrite(path: String, schema: StructType, queryId: Strin
     // retract ordering claim + stale Checkpoint manifest BEFORE publishing
     // (epoch files interleave sorted runs; counts change under the manifest)
     graft.engine.StoreMeta.clearSortKeys(hadoopConf, blocks.toString)
-    val manifest = new Path(path, "manifest")
+    val manifest = new Path(storeRoot, "manifest")
     if (fs.exists(manifest)) fs.delete(manifest, true)
     // the resumable encoder's completeness claim dies with the manifest —
     // a stale one would let encodeResumable's fast path describe a store
     // this epoch just extended
-    fs.delete(new Path(path, "complete.txt"), false)
+    fs.delete(new Path(storeRoot, "complete.txt"), false)
 
     // Epoch-replay dedupe is per (query,epoch,partition) FILE NAME, which is
     // only sound when a replayed epoch plans the SAME partitioning — if
@@ -150,6 +153,17 @@ final class GraftStreamingWrite(path: String, schema: StructType, queryId: Strin
             "across restarts (spark.sql.shuffle.partitions changed?); " +
             "refusing to mix attempts")
     } else {
+      // no marker — but if compaction SWEPT it (tombstone holds this
+      // query's high-water mark at or above this epoch), the epoch was
+      // committed and its files merged away: re-publishing would duplicate
+      // every one of its rows inside the compacted file
+      if (GraftCompact.compactedEpochMax(hadoopConf, blocks, qTag)
+          .exists(_ >= epochId))
+        throw new IllegalStateException(
+          s"epoch $epochId of query $qTag was committed and then compacted " +
+            "(its marker was swept into the epoch tombstone) — publishing " +
+            "again would duplicate its rows; restart the query from a " +
+            "fresh checkpoint")
       val tmp = new Path(blocks, s"_epoch-q$qTag-e$epochId.json.tmp")
       val out = fs.create(tmp, true)
       try out.write(
@@ -191,23 +205,23 @@ final class GraftStreamingWrite(path: String, schema: StructType, queryId: Strin
         }
       case _ =>
     }
-    val staging = new Path(path, s"blocks/_staging-q$qTag-e$epochId")
+    val staging = new Path(blocks, s"_staging-q$qTag-e$epochId")
     if (fs.exists(staging)) fs.delete(staging, true)
   }
 
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
-    val staging = new Path(path, s"blocks/_staging-q$qTag-e$epochId")
+    val staging = new Path(blocks, s"_staging-q$qTag-e$epochId")
     val fs = staging.getFileSystem(hadoopConf)
     if (fs.exists(staging)) fs.delete(staging, true)
   }
 }
 
 final case class GraftStreamingWriterFactory(
-    path: String, qTag: String, cols: Array[String])
+    blocksDir: String, qTag: String, cols: Array[String])
     extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
   override def createWriter(
       partitionId: Int, taskId: Long, epochId: Long): DataWriter[InternalRow] =
-    new GraftDataWriter(path, s"q$qTag-e$epochId", cols, partitionId, taskId)
+    new GraftDataWriter(blocksDir, s"q$qTag-e$epochId", cols, partitionId, taskId)
 }
 
 /** Commit protocol (mirrors Checkpoint's temp-dir-then-rename manifest
@@ -227,28 +241,35 @@ class GraftBatchWrite(path: String, schema: StructType, truncate: Boolean,
   private def hadoopConf =
     org.apache.spark.sql.SparkSession.active.sparkContext.hadoopConfiguration
 
-  private def stagingDir = new Path(path, s"blocks/_staging-$writeId")
+  // resolved ONCE on the driver with the readers' convention: a store
+  // addressed by its blocks dir extends in place instead of nesting a
+  // second store (which would hide every pre-existing row from later reads)
+  private lazy val blocks: Path = GraftDataSource.blocksDirForWrite(path)
+  private lazy val storeRoot: Path = GraftDataSource.storeRootFor(path, blocks)
+
+  private def stagingDir = new Path(blocks, s"_staging-$writeId")
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    GraftWriterFactory(path, writeId, schema.fieldNames)
+    GraftWriterFactory(blocks.toString, writeId, schema.fieldNames)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
-    val blocks = new Path(path, "blocks")
     val fs = blocks.getFileSystem(hadoopConf)
     // refuse to APPEND into a store written under a different block layout;
     // an overwrite REPLACES the store, so a pre-v2/wrong-version store is a
     // legitimate target there (refusing would block the documented remedy
-    // "re-encode the store"). Stamp our version before any file is published.
-    if (!truncate) graft.engine.StoreMeta.checkFormat(hadoopConf, blocks.toString)
-    graft.engine.StoreMeta.writeFormatMarker(hadoopConf, blocks.toString,
-      replaceDifferent = truncate) // truncate deletes the old blocks below
+    // "re-encode the store"). Append stamps the version up front (verified
+    // compatible); truncate stamps only AFTER the old blocks die below.
+    if (!truncate) {
+      graft.engine.StoreMeta.checkFormat(hadoopConf, blocks.toString)
+      graft.engine.StoreMeta.writeFormatMarker(hadoopConf, blocks.toString)
+    }
     // a DSv2 write makes any Checkpoint manifest stale (it describes blocks
     // this write replaces or extends) — drop it so stats/resume never trust
     // counts for data that changed underneath them
-    val manifest = new Path(path, "manifest")
+    val manifest = new Path(storeRoot, "manifest")
     if (fs.exists(manifest)) fs.delete(manifest, true)
     // the resumable encoder's completeness claim dies with the manifest
-    fs.delete(new Path(path, "complete.txt"), false)
+    fs.delete(new Path(storeRoot, "complete.txt"), false)
     // append mode interleaves sorted files: retract the ordering claim
     // BEFORE any file lands, so no crash window can leave a false claim
     // (overwrite re-asserts it after a successful publish below)
@@ -264,6 +285,15 @@ class GraftBatchWrite(path: String, schema: StructType, truncate: Boolean,
           st.getPath.getName.startsWith("_epoch-"))
         .foreach(st => fs.delete(st.getPath, true))
     }
+    // truncate stamps the version only now, with the old-layout blocks
+    // gone: stamping before the delete loop would open a crash window in
+    // which pre-v2 blocks sit under a v2 marker and every later reader
+    // MISPARSES them instead of refusing (a crash between the delete and
+    // this stamp leaves the old marker over an emptied store — a loud
+    // refusal until the overwrite is re-run, never wrong values)
+    if (truncate)
+      graft.engine.StoreMeta.writeFormatMarker(hadoopConf, blocks.toString,
+        replaceDifferent = true)
     messages.foreach {
       case GraftCommit(pid, rows, file) if rows > 0 && file != null =>
         val dest = new Path(blocks, s"partId=$pid")
@@ -287,10 +317,10 @@ class GraftBatchWrite(path: String, schema: StructType, truncate: Boolean,
   }
 }
 
-final case class GraftWriterFactory(path: String, writeId: String, cols: Array[String])
+final case class GraftWriterFactory(blocksDir: String, writeId: String, cols: Array[String])
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new GraftDataWriter(path, writeId, cols, partitionId, taskId)
+    new GraftDataWriter(blocksDir, writeId, cols, partitionId, taskId)
 }
 
 final case class GraftCommit(partitionId: Int, rows: Long, stagedFile: String)
@@ -301,7 +331,8 @@ final case class GraftCommit(partitionId: Int, rows: Long, stagedFile: String)
   * Bounded memory: one block of raw values per column at a time.
   */
 final class GraftDataWriter(
-    path: String, writeId: String, cols: Array[String], partitionId: Int, taskId: Long)
+    blocksDir: String, writeId: String, cols: Array[String],
+    partitionId: Int, taskId: Long)
     extends DataWriter[InternalRow] {
 
   private val BlockRows = 65536
@@ -328,7 +359,7 @@ final class GraftDataWriter(
   // (BatchWrite.useCommitCoordinator default: exactly one attempt per
   // partition gets to send a commit message), NOT from name collisions
   private val file = new Path(
-    s"$path/blocks/_staging-$writeId/part-$writeId-$partitionId-$taskId.parquet")
+    s"$blocksDir/_staging-$writeId/part-$writeId-$partitionId-$taskId.parquet")
   // opened on first flushed block; abort on a task that never wrote a row
   // must not CREATE a parquet file just to delete it
   private var writerOpt: org.apache.parquet.hadoop.ParquetWriter[org.apache.parquet.example.data.Group] = null

@@ -192,6 +192,29 @@ class GraftCompactSpec extends AnyFunSuite {
       s"expected 1 file/partition, got ${after.files.view.mapValues(_.size).toMap}")
     assert(after.json().length < before.json().length / 10)
 
+    // epoch markers are swept into the tombstone (listings shrink with the
+    // data files — without this, blocks/ keeps one marker per epoch forever)
+    val blocks = GraftDataSource.blocksDir(s"$dir/store")
+    val fs = blocks.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.listStatus(blocks).exists(
+      _.getPath.getName.startsWith("_epoch-q")),
+      "compaction must sweep the per-epoch markers")
+    assert(fs.exists(new org.apache.hadoop.fs.Path(
+      blocks, GraftCompact.EpochTombstone)))
+    // the tombstone carries each query's high-water mark: a sink replay of
+    // a merged epoch refuses through it even though the marker is gone
+    val tagMaxes = {
+      val in = fs.open(new org.apache.hadoop.fs.Path(blocks, GraftCompact.EpochTombstone))
+      val root = try new com.fasterxml.jackson.databind.ObjectMapper().readTree(in)
+        finally in.close()
+      val it = root.fields()
+      val m = scala.collection.mutable.HashMap.empty[String, Long]
+      while (it.hasNext) { val e = it.next(); m(e.getKey) = e.getValue.asLong() }
+      m.toMap
+    }
+    assert(tagMaxes.size == 1 && tagMaxes.values.head == (nEpochs - 1).toLong,
+      s"tombstone must record the swept high-water mark, got $tagMaxes")
+
     // a consumer resuming from a PRE-compaction committed offset must
     // refuse loudly (the compacted file would replay every merged row),
     // pointing at the fresh-checkpoint maintenance contract

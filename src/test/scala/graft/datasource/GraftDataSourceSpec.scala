@@ -723,4 +723,73 @@ class GraftDataSourceSpec extends AnyFunSuite {
     assert(replaced.schema.fieldNames.sorted.toSeq == Seq("k", "z"))
     assert(replaced.count() == 1)
   }
+
+  test("append addressed by the blocks dir extends in place, never nests") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-blocksaddr").toString
+    Seq(("a", "1"), ("b", "2")).toDF("k", "v")
+      .write.format("graft").mode("overwrite").option("sortKeys", "k").save(dir)
+    val blocksDir = s"$dir/blocks"
+    // readers accept the blocks dir as the path — the writer must resolve
+    // it the same way instead of nesting a second store at blocks/blocks
+    // (which would win later resolution and hide every pre-existing row)
+    Seq(("c", "3")).toDF("k", "v")
+      .write.format("graft").mode("append").option("sortKeys", "k").save(blocksDir)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$blocksDir/blocks")),
+      "append via the blocks dir must not nest a second store")
+    assert(spark.read.format("graft").load(dir).count() == 3)
+    assert(spark.read.format("graft").load(blocksDir).count() == 3)
+    // the store-root markers were retracted, not a phantom nested set
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/complete.txt")))
+  }
+
+  test("user-supplied schema with a column the store lacks refuses loudly") {
+    import org.apache.spark.sql.types.{StringType, StructField, StructType}
+    val e = intercept[Exception] {
+      spark.read.format("graft")
+        .schema(StructType(Seq(StructField("doc_id_s", StringType),
+          StructField("naem", StringType)))) // typo for a real column
+        .load(store)
+        .count()
+    }
+    val msg = e.getMessage + Option(e.getCause).map(_.getMessage).getOrElse("")
+    assert(msg.contains("naem") && msg.contains("do not exist"),
+      s"ghost column must refuse, not serve all-nulls: $msg")
+    // a correct user-supplied subset still reads fine
+    val ok = spark.read.format("graft")
+      .schema(StructType(Seq(StructField("doc_id_s", StringType))))
+      .load(store)
+    assert(ok.count() == 4000)
+  }
+
+  test("top-N early stop is dropped when an append lands after the push") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-topnrace").toString
+    (0 until 400).map(i => (f"k$i%03d", s"v$i")).toDF("k", "v")
+      .write.format("graft").mode("overwrite")
+      .option("sortKeys", "k").option("numPartitions", "2").save(dir)
+    val schema = spark.read.format("graft").load(dir).schema
+    val keys = graft.engine.StoreMeta.readSortKeys(
+      spark.sparkContext.hadoopConfiguration,
+      GraftDataSource.blocksDir(dir).toString)
+    assert(keys.nonEmpty, "test premise: overwrite recorded the sort keys")
+    // scan built as pushTopN would build it: limit + the marker snapshot
+    val sorted = GraftScan(dir, schema, Nil, limit = 5, topNKeys = keys)
+    assert(sorted.createReaderFactory().asInstanceOf[GraftReaderFactory]
+      .limit == 5, "valid top-N keeps the early stop")
+    // an append between push-time and scan-time retracts the marker and
+    // adds a second file: the early stop must be dropped (readers emit
+    // everything; Spark's partial-push sort+limit stays correct)
+    Seq(("a0", "x")).toDF("k", "v")
+      .write.format("graft").mode("append").option("sortKeys", "k").save(dir)
+    val raced = GraftScan(dir, schema, Nil, limit = 5, topNKeys = keys)
+    assert(raced.createReaderFactory().asInstanceOf[GraftReaderFactory]
+      .limit == -1, "stale top-N conditions must drop the early stop")
+    // plain LIMIT (no ordering claim) survives any file set
+    val plain = GraftScan(dir, schema, Nil, limit = 5)
+    assert(plain.createReaderFactory().asInstanceOf[GraftReaderFactory]
+      .limit == 5)
+  }
 }
