@@ -137,8 +137,13 @@ object GraftCompact {
     // every partition rewrote successfully: fold the streaming epoch
     // markers into the tombstone and sweep them, so listings shrink to
     // O(files) again (the whole point of compacting) and a replay of a
-    // merged epoch refuses via the tombstone instead of re-publishing
-    sweepEpochMarkers(spark.sparkContext.hadoopConfiguration, dir)
+    // merged epoch refuses via the tombstone instead of re-publishing.
+    // Sweep ONLY when something actually merged: a no-op compaction
+    // (every partition already single-file) leaves each epoch's published
+    // files intact, so a replay of those epochs must keep hitting the
+    // sink's dest-exists dedup rather than a hard "was compacted" refusal.
+    if (reports.exists(r => r.filesAfter < r.filesBefore))
+      sweepEpochMarkers(spark.sparkContext.hadoopConfiguration, dir)
     reports
   }
 

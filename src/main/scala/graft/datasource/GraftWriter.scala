@@ -279,10 +279,14 @@ class GraftBatchWrite(path: String, schema: StructType, truncate: Boolean,
       // successfully committed (staging dir is spared — it holds the data).
       // Streaming epoch markers describe the REPLACED data — stale markers
       // would make a later replay of a recycled (query, epoch) pair compare
-      // against files that no longer exist, so they die with it.
+      // against files that no longer exist, so they die with it. The
+      // compaction tombstone is the same class of stale claim: left behind,
+      // a replayed (query, epoch) at or below its high-water mark would be
+      // refused as "compacted" against a store that was actually replaced.
       fs.listStatus(blocks)
         .filter(st => st.getPath.getName.startsWith("partId=") ||
-          st.getPath.getName.startsWith("_epoch-"))
+          st.getPath.getName.startsWith("_epoch-") ||
+          st.getPath.getName == GraftCompact.EpochTombstone)
         .foreach(st => fs.delete(st.getPath, true))
     }
     // truncate stamps the version only now, with the old-layout blocks

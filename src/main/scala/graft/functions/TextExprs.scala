@@ -70,6 +70,77 @@ case class HtmlToMd(child: Expression) extends TextTransformExpr {
     copy(child = newChild)
 }
 
+/** Rabin–Karp rolling-hash min-fingerprint (window over CODEPOINTS, base
+  * 1000003, mod 2^64, unsigned min across window positions) — the document
+  * fingerprinting kernel, ORACLE-COUPLED to OracleSql.fingerprint's
+  * HUGEINT replay: any change here breaks the paired SQL.
+  */
+object RollingHashImpl {
+  def minHash(s: UTF8String, window: Int): Long = minHashString(s.toString, window)
+
+  def minHashString(text: String, window: Int): Long = {
+    // CODEPOINT windows: the DuckDB oracle computes the hash from
+    // `ascii(text[i:i])` with `len(text)` positions — both codepoint-based
+    // — so a supplementary char must be ONE window element on both sides
+    // (identical on BMP-only text)
+    val cps = text.codePoints().toArray
+    val n = cps.length
+    if (n == 0) return 0L
+    val B = 1000003L
+    if (n < window) {
+      var h = 0L
+      var i = 0
+      while (i < n) { h = h * B + cps(i); i += 1 }
+      return h
+    }
+    // B^(window-1) for the roll-off term
+    var bpow = 1L
+    var k = 0
+    while (k < window - 1) { bpow *= B; k += 1 }
+    var h = 0L
+    var i = 0
+    while (i < window) { h = h * B + cps(i); i += 1 }
+    var minH = h
+    while (i < n) {
+      h = (h - cps(i - window) * bpow) * B + cps(i)
+      if (java.lang.Long.compareUnsigned(h, minH) < 0) minH = h
+      i += 1
+    }
+    minH
+  }
+}
+
+/** the rolling min-fingerprint as a codegen'd expression (window is a plan
+  * constant, not a child): a fingerprint projection over 10^12 rows stays
+  * inside WholeStageCodegen — the prior typed Dataset.map paid an encoder
+  * ser/de round-trip per row
+  */
+case class RollingMinHash64(child: Expression, window: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType != StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"rolling_minhash64 needs a string column, got ${child.dataType.catalogString}")
+    else if (window < 1)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"rolling_minhash64 needs window >= 1, got $window")
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+
+  override def nullSafeEval(v: Any): Any =
+    RollingHashImpl.minHash(v.asInstanceOf[UTF8String], window)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val impl = RollingHashImpl.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $impl.minHash($c, $window);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): RollingMinHash64 =
+    copy(child = newChild)
+
+  override def prettyName: String = "rolling_minhash64"
+}
+
 object textFunctions {
   private def wrap(e: Expression): Column =
     org.apache.spark.sql.GraftBridge.column(e)
@@ -79,6 +150,8 @@ object textFunctions {
   def mdToText(c: Column): Column = wrap(MdToText(expr(c)))
   def mdToHtml(c: Column): Column = wrap(MdToHtml(expr(c)))
   def htmlToMd(c: Column): Column = wrap(HtmlToMd(expr(c)))
+  def rollingMinHash64(c: Column, window: Int): Column =
+    wrap(RollingMinHash64(expr(c), window))
 
   /** register md_to_text / md_to_html / html_to_md for SQL use */
   def registerAll(spark: org.apache.spark.sql.SparkSession): Unit = {

@@ -46,10 +46,31 @@ object EmbedQueries {
       sqrt(aggregate(transform(col("embedding"), x => x.cast("double") * x),
         lit(0.0), _ + _)).as("norm"))
 
-  private def cosine(a: String, b: String): org.apache.spark.sql.Column =
-    aggregate(zip_with(col(s"$a.embedding"), col(s"$b.embedding"),
-      (x, y) => x.cast("double") * y), lit(0.0), _ + _) /
-      (col(s"$a.norm") * col(s"$b.norm"))
+  /** Exact cosine with the zero-norm guard (repo invariant): a zero norm
+    * product makes 0/0 = NaN, which Spark/DuckDB ORDER BY ranks GREATEST
+    * while the JVM ranks it last, and round(NaN).cast(long) throws under
+    * ANSI — pin the degenerate case to -1 on BOTH sides (every OracleSql
+    * cosine carries the matching CASE).
+    */
+  private def cosine(a: String, b: String): org.apache.spark.sql.Column = {
+    val den = col(s"$a.norm") * col(s"$b.norm")
+    when(den === 0, lit(-1.0)).otherwise(
+      aggregate(zip_with(col(s"$a.embedding"), col(s"$b.embedding"),
+        (x, y) => x.cast("double") * y), lit(0.0), _ + _) / den)
+  }
+
+  /** corpus row count memoized per (sfDir, JVM): five embed queries size
+    * bits/cells from it, and Bench re-runs each query twice — without the
+    * memo every run pays one redundant count job (the CoreQueries.docStore
+    * pattern; the driver's testdata is immutable for the JVM's lifetime).
+    * The count itself is cheap (parquet metadata), so a plain CHM compute
+    * is safe here — unlike docStore's multi-minute encode.
+    */
+  private val corpusCounts =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+  private def corpusCount(spark: SparkSession, sfDir: String): Long =
+    corpusCounts.computeIfAbsent(sfDir,
+      _ => load(spark, sfDir, "embeddings").count()).longValue()
 
   /** brute-force cosine top-k for the first NumQueries vectors (baseline):
     * small query side broadcast against the full corpus.
@@ -120,7 +141,7 @@ object EmbedQueries {
     */
   def lshTopK(spark: SparkSession, sfDir: String): DataFrame = {
     val base = load(spark, sfDir, "embeddings").select(col("vec_id"), col("embedding"))
-    val n = base.count()
+    val n = corpusCount(spark, sfDir)
     val bits = lshBitsFor(n)
     val bands = bandSignatures(base, bits)
     val okBuckets = bands.groupBy(col("band"), col("sig"))
@@ -166,11 +187,12 @@ object EmbedQueries {
         Seq("neighbor_id"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
+    val den = col("norm") * col("n_norm")
     joined
       .select(col("query_id"), col("neighbor_id"),
-        (aggregate(zip_with(col("embedding"), col("n_embedding"),
-          (x, y) => x.cast("double") * y), lit(0.0), _ + _) /
-          (col("norm") * col("n_norm"))).as("cos"))
+        when(den === 0, lit(-1.0)).otherwise(
+          aggregate(zip_with(col("embedding"), col("n_embedding"),
+            (x, y) => x.cast("double") * y), lit(0.0), _ + _) / den).as("cos"))
       .withColumn("rnk", row_number().over(w).cast("long"))
       .where(col("rnk") <= K)
       .select(col("query_id"), col("neighbor_id"), col("rnk"),
@@ -193,7 +215,7 @@ object EmbedQueries {
   def ivfTopK(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val base = load(spark, sfDir, "embeddings").select(col("vec_id"), col("embedding"))
-    val nTotal = base.count()
+    val nTotal = corpusCount(spark, sfDir)
     val cells = ivfCellsFor(nTotal)
     val cellCap = 8L * ((nTotal + cells - 1) / cells)
     // anchors: O(sqrt n) — driver-side metadata, like the skew plan
@@ -300,7 +322,7 @@ object EmbedQueries {
 
   def nearDupPairs(spark: SparkSession, sfDir: String): DataFrame = {
     val base = load(spark, sfDir, "embeddings").select(col("vec_id"), col("embedding"))
-    val n = base.count()
+    val n = corpusCount(spark, sfDir)
     val pairs = candidatePairs(base, n)
     val vecs = withNorm(base)
     val scored = pairs
@@ -338,16 +360,13 @@ object EmbedQueries {
     */
   def nearDupClusters(spark: SparkSession, sfDir: String): DataFrame = {
     val base = load(spark, sfDir, "embeddings").select(col("vec_id"), col("embedding"))
-    val n = base.count()
+    val n = corpusCount(spark, sfDir)
     val vecs = withNorm(base)
-    // zero-norm guard mirrors the oracle's CASE: Spark SQL ranks NaN above
-    // any threshold (NaN is greatest) while the CASE pins it to -1
-    val den = col("va.norm") * col("vb.norm")
-    val cosG = when(den === 0, lit(-1.0)).otherwise(cosine("va", "vb"))
     val pairs = candidatePairs(base, n)
       .join(vecs.as("va"), col("id_a") === col("va.vec_id"))
       .join(vecs.as("vb"), col("id_b") === col("vb.vec_id"))
-      .where(cosG >= ClusterTau)
+      // cosine() carries the zero-norm -1 pin mirroring the oracle's CASE
+      .where(cosine("va", "vb") >= ClusterTau)
       .select(col("id_a"), col("id_b"))
       .persist()
     // partitioning ADAPTED to the measured graph size: the thresholded
@@ -405,7 +424,7 @@ object EmbedQueries {
     */
   def lshBuckets(spark: SparkSession, sfDir: String): DataFrame = {
     val base = load(spark, sfDir, "embeddings").select(col("vec_id"), col("embedding"))
-    val n = base.count()
+    val n = corpusCount(spark, sfDir)
     bandSignatures(base, lshBitsFor(n))
       .groupBy(col("band"), col("sig")).count()
       .groupBy(col("band"), col("count").as("bucket_size"))

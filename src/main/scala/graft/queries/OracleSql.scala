@@ -335,8 +335,9 @@ object OracleSql {
          |          sqrt(list_sum(list_transform(emb, x -> x * x))) AS nm FROM e),
          |scored AS (
          |  SELECT id_a, id_b,
-         |    list_sum(list_transform(range(1, 65), j -> a.emb[j] * b2.emb[j]))
-         |      / (a.nm * b2.nm) AS cos
+         |    CASE WHEN a.nm * b2.nm = 0 THEN -1 ELSE
+         |      list_sum(list_transform(range(1, 65), j -> a.emb[j] * b2.emb[j]))
+         |        / (a.nm * b2.nm) END AS cos
          |  FROM cand JOIN nrm a ON a.vec_id = id_a
          |  JOIN nrm b2 ON b2.vec_id = id_b),
          |r AS (SELECT id_a, id_b,
@@ -398,8 +399,9 @@ object OracleSql {
          |          sqrt(list_sum(list_transform(emb, x -> x * x))) AS nm FROM e),
          |scored AS (
          |  SELECT query_id, neighbor_id,
-         |    list_sum(list_transform(range(1, 65), j -> a.emb[j] * b2.emb[j]))
-         |      / (a.nm * b2.nm) AS cos
+         |    CASE WHEN a.nm * b2.nm = 0 THEN -1 ELSE
+         |      list_sum(list_transform(range(1, 65), j -> a.emb[j] * b2.emb[j]))
+         |        / (a.nm * b2.nm) END AS cos
          |  FROM cand JOIN nrm a ON a.vec_id = query_id
          |  JOIN nrm b2 ON b2.vec_id = neighbor_id),
          |r AS (SELECT query_id, neighbor_id,
@@ -447,8 +449,9 @@ object OracleSql {
        |         JOIN assigned a USING (cell_id)
        |         WHERE a.neighbor_id != p.query_id),
        |pairs AS (SELECT c.query_id, c.neighbor_id,
-       |        list_sum(list_transform(range(1, 65), i -> q.emb[i] * nb.emb[i]))
-       |          / (q.nrm * nb.nrm) AS cos
+       |        CASE WHEN q.nrm * nb.nrm = 0 THEN -1 ELSE
+       |          list_sum(list_transform(range(1, 65), i -> q.emb[i] * nb.emb[i]))
+       |            / (q.nrm * nb.nrm) END AS cos
        |        FROM cand c
        |        JOIN n q ON q.vec_id = c.query_id
        |        JOIN n nb ON nb.vec_id = c.neighbor_id),
@@ -469,8 +472,9 @@ object OracleSql {
       |n AS (SELECT vec_id, emb,
       |        sqrt(list_sum(list_transform(emb, x -> x * x))) AS nrm FROM e),
       |p AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-      |        list_sum(list_transform(range(1, 65), i -> q.emb[i] * c.emb[i]))
-      |          / (q.nrm * c.nrm) AS cos
+      |        CASE WHEN q.nrm * c.nrm = 0 THEN -1 ELSE
+      |          list_sum(list_transform(range(1, 65), i -> q.emb[i] * c.emb[i]))
+      |            / (q.nrm * c.nrm) END AS cos
       |      FROM n q, n c
       |      WHERE q.vec_id < ${EmbedQueries.NumQueries} AND c.vec_id != q.vec_id),
       |r AS (SELECT query_id, neighbor_id,

@@ -122,45 +122,22 @@ object TextQueries {
       .orderBy("lang", "guessed")
   }
 
-  /** rolling-hash (Rabin–Karp, window 16 chars) min-fingerprint per doc */
-  def fingerprint(spark: SparkSession, sfDir: String): DataFrame = {
-    import spark.implicits._
+  /** rolling-hash (Rabin–Karp, window 16 chars) min-fingerprint per doc —
+    * a codegen'd Catalyst expression projection (functions.RollingMinHash64),
+    * not a typed Dataset.map: no encoder ser/de per row, the whole
+    * projection stays inside WholeStageCodegen. %016x formatting matches
+    * the previous Scala f-interpolator exactly (java.util.Formatter on
+    * both paths), so OracleSql.fingerprint is untouched.
+    */
+  def fingerprint(spark: SparkSession, sfDir: String): DataFrame =
     load(spark, sfDir, "documents")
-      .select(col("doc_id"), col("text"))
-      .as[(Long, String)]
-      .map { case (id, text) => (id, f"${rollingMinHash(text, 16)}%016x") }
-      .toDF("doc_id", "fingerprint_hex")
+      .select(col("doc_id"),
+        format_string("%016x",
+          graft.functions.textFunctions.rollingMinHash64(col("text"), 16))
+          .as("fingerprint_hex"))
       .orderBy("doc_id")
-  }
 
-  def rollingMinHash(text: String, window: Int): Long = {
-    // CODEPOINT windows: the DuckDB oracle computes the hash from
-    // `ascii(text[i:i])` with `len(text)` positions — both codepoint-based
-    // — so a supplementary char must be ONE window element on both sides
-    // (identical on BMP-only text)
-    val cps = text.codePoints().toArray
-    val n = cps.length
-    if (n == 0) return 0L
-    val B = 1000003L
-    if (n < window) {
-      var h = 0L
-      var i = 0
-      while (i < n) { h = h * B + cps(i); i += 1 }
-      return h
-    }
-    // B^(window-1) for the roll-off term
-    var bpow = 1L
-    var k = 0
-    while (k < window - 1) { bpow *= B; k += 1 }
-    var h = 0L
-    var i = 0
-    while (i < window) { h = h * B + cps(i); i += 1 }
-    var minH = h
-    while (i < n) {
-      h = (h - cps(i - window) * bpow) * B + cps(i)
-      if (java.lang.Long.compareUnsigned(h, minH) < 0) minH = h
-      i += 1
-    }
-    minH
-  }
+  /** the fingerprint kernel (delegates to the expression's shared impl) */
+  def rollingMinHash(text: String, window: Int): Long =
+    graft.functions.RollingHashImpl.minHashString(text, window)
 }

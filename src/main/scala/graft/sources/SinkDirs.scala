@@ -29,12 +29,25 @@ private[sources] object SinkDirs {
     */
   def create(path: String, name: String): java.io.OutputStream = {
     val p = new org.apache.hadoop.fs.Path(path, name)
-    val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    // a PRIVATE FileSystem instance: getFileSystem returns the JVM-cached
+    // one, and flipping setWriteChecksum on it would disable .crc sidecars
+    // for EVERY later local-FS write in this executor (graft block parquet,
+    // manifests) — newInstance scopes the flip to this part file, and the
+    // wrapper closes the instance with the stream
+    val fs = org.apache.hadoop.fs.FileSystem.newInstance(
+      p.toUri, new org.apache.hadoop.conf.Configuration())
     // no sidecar .crc files: these formats carry their own integrity
     // (avro sync markers, zip CRCs), and a local-FS checksum would turn
     // any out-of-band edit into a ChecksumException masking the format's
     // own typed error handling (no-op on HDFS, which checksums natively)
     fs.setWriteChecksum(false)
-    fs.create(p, true)
+    val raw = fs.create(p, true)
+    new java.io.FilterOutputStream(raw) {
+      // FilterOutputStream writes arrays byte-at-a-time — delegate bulk
+      override def write(b: Array[Byte], off: Int, len: Int): Unit =
+        raw.write(b, off, len)
+      override def close(): Unit =
+        try super.close() finally fs.close()
+    }
   }
 }
