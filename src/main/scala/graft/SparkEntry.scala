@@ -50,6 +50,8 @@ object SparkEntry {
     "q_quality_score" -> (TextQueries.qualityScore _),
     "q_lang_id" -> (TextQueries.langId _),
     "q_fingerprint" -> (TextQueries.fingerprint _),
+    // multimodal: real container decode (PPM/WAV/Y4M) + frame sampling
+    "q_media_stats" -> (MediaQueries.mediaStats _),
     // similarity search
     "q_embed_topk" -> (EmbedQueries.bruteTopK _),
     "q_embed_lsh_topk" -> (EmbedQueries.lshTopK _),
@@ -161,6 +163,7 @@ object SparkEntry {
     "q_lang_id" -> OracleSql.langId,
     "q_fingerprint" -> OracleSql.fingerprint,
     "q_simhash" -> OracleSql.simhash,
+    "q_media_stats" -> OracleSql.mediaStats,
     "q_embed_topk" -> OracleSql.embedTopK,
     "q_embed_lsh_topk" -> OracleSql.embedLshTopK(),
     "q_embed_lsh_buckets" -> OracleSql.embedLshBuckets(),

@@ -70,6 +70,44 @@ object Multimodal {
     }
   }
 
+  /** ORACLE-REPLAYABLE deterministic media table: the same REAL container
+    * encoders as syntheticTable (binary PPM / PCM16 WAV / Y4M), but every
+    * parameter and payload byte is plain modular arithmetic over the row
+    * id — SplittableRandom's nextInt carries a rejection loop that is not
+    * safely expressible in SQL, while these formulas replay exactly in
+    * DuckDB (OracleSql.mediaStats; validated in tools/oracle_proto8.py).
+    * ORACLE-COUPLED: any change here breaks the paired SQL.
+    */
+  def oracleTable(spark: SparkSession, rows: Long, parts: Int = 8): Dataset[MediaFile] = {
+    import spark.implicits._
+    spark.range(0L, rows, 1L, parts).map(i => oracleRow(i))
+  }
+
+  def oracleRow(i: Long): MediaFile = (i % 3) match {
+    case 0 =>
+      val w = (16 + (i * 7) % 64).toInt
+      val h = (16 + (i * 11) % 64).toInt
+      val rgb = Array.tabulate(3 * w * h)(j => ((i + 3L * j) % 256).toByte)
+      MediaFile(i, MediaMeta("image", w, h, 0, 0L), MediaCodecs.encodePpm(w, h, rgb))
+    case 1 =>
+      val rate = (8000 + (i * 37) % 8000).toInt
+      val durMs = 100 + (i * 13) % 500
+      val n = (rate * durMs / 1000L).toInt
+      val samples = Array.tabulate(n)(k =>
+        (((i * 31 + k * 17L) % 65536) - 32768).toShort)
+      MediaFile(i, MediaMeta("audio", 0, 0, rate, durMs),
+        MediaCodecs.encodeWav(rate, samples))
+    case _ =>
+      val w = (8 + (i * 5) % 24).toInt
+      val h = (8 + (i * 3) % 24).toInt
+      val fps = (5 + i % 25).toInt
+      val nf = (4 + (i * 7) % 12).toInt
+      val frames = Array.tabulate(nf)(f =>
+        Array.tabulate(3 * w * h)(j => ((i + f * 11L + j * 7L) % 256).toByte))
+      MediaFile(i, MediaMeta("video", w, h, 0, nf * 1000L / fps),
+        MediaCodecs.encodeY4m(w, h, fps, 1, frames))
+  }
+
   /** Decode → fixed-dim feature vector. REAL for PPM images (16-bin
     * luminance histogram), PCM16 WAV audio (16-window RMS envelope) and Y4M
     * video (luma histogram of the first frame) via MediaCodecs; formats

@@ -464,6 +464,49 @@ object OracleSql {
        |FROM r2 WHERE rnk <= $k ORDER BY query_id, rnk""".stripMargin
   }
 
+  /** q_media_stats: replay Multimodal.oracleRow's modular arithmetic — the
+    * media table's every parameter and payload byte is a pure function of
+    * the row id, so the decoded-container aggregates (dimensions, rates,
+    * sample counts, sampled-frame byte sums) recompute exactly in SQL with
+    * no container parsing. Validated against the python generator mirror
+    * in tools/oracle_proto8.py. ORACLE-COUPLED to Multimodal.oracleRow and
+    * MediaQueries.SampleEveryNth (= 2, the `f % 2 = 0` filter below).
+    */
+  val mediaStats: String =
+    """WITH nn AS (SELECT count(*) AS c FROM documents),
+      |ids AS (SELECT unnest(range(0, c)) AS i FROM nn),
+      |img AS (SELECT i, 16 + (i*7) % 64 AS w, 16 + (i*11) % 64 AS h
+      |        FROM ids WHERE i % 3 = 0),
+      |aud AS (SELECT i, rate, (rate * dur) // 1000 AS ns FROM (
+      |          SELECT i, 8000 + (i*37) % 8000 AS rate, 100 + (i*13) % 500 AS dur
+      |          FROM ids WHERE i % 3 = 1)),
+      |vid AS (SELECT i, 8 + (i*5) % 24 AS w, 8 + (i*3) % 24 AS h,
+      |               4 + (i*7) % 12 AS nf
+      |        FROM ids WHERE i % 3 = 2),
+      |u AS (
+      |  SELECT 'image' AS kind, count(*) AS n,
+      |    CAST(sum(w) AS BIGINT) AS sum_w, CAST(sum(h) AS BIGINT) AS sum_h,
+      |    0::BIGINT AS sum_rate, 0::BIGINT AS sum_samples,
+      |    0::BIGINT AS sum_frames, 0::BIGINT AS frames_sampled,
+      |    CAST(sum(list_sum(list_transform(range(0, 3*w*h),
+      |      j -> (i + 3*j) % 256))) AS BIGINT) AS payload_sum
+      |  FROM img
+      |  UNION ALL
+      |  SELECT 'audio', count(*), 0, 0,
+      |    CAST(sum(rate) AS BIGINT), CAST(sum(ns) AS BIGINT), 0, 0,
+      |    CAST(sum(list_sum(list_transform(range(0, ns),
+      |      k -> (i*31 + k*17) % 65536))) AS BIGINT)
+      |  FROM aud
+      |  UNION ALL
+      |  SELECT 'video', count(*),
+      |    CAST(sum(w) AS BIGINT), CAST(sum(h) AS BIGINT), 0, 0,
+      |    CAST(sum(nf) AS BIGINT), CAST(sum((nf + 1) // 2) AS BIGINT),
+      |    CAST(sum(list_sum(list_transform(list_filter(range(0, nf), f -> f % 2 = 0),
+      |      f -> list_sum(list_transform(range(0, 3*w*h),
+      |             j -> (i + f*11 + j*7) % 256))))) AS BIGINT)
+      |  FROM vid)
+      |SELECT * FROM u WHERE n > 0 ORDER BY kind""".stripMargin
+
   /** q_embed_topk: exact cosine top-k in DOUBLE arithmetic with the same
     * left-to-right summation order as the Spark fold
     */
