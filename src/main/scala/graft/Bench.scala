@@ -88,6 +88,68 @@ object Bench {
     }
   }
 
+  /** Shared fixed input for the per-level encode probes: one generation
+    * pass, blocks reused by every probe (content column only — the codec
+    * CPU the encode legs measure).
+    */
+  private object EncodeProbeData {
+    val rowsPerBlock = 4000
+    val nBlocks = 64
+    lazy val (blocks, rawBytes): (Array[Array[Array[Byte]]], Long) = {
+      val cfg = DataGen.GenConfig(rows = rowsPerBlock.toLong * nBlocks)
+      val bs = (0L until cfg.rows).toArray.map(i => DataGen.row(i, cfg))
+        .grouped(rowsPerBlock).map(_.map(_.content.getBytes("UTF-8"))).toArray
+      (bs, bs.map(_.map(_.length.toLong).sum).sum)
+    }
+  }
+
+  /** Pure-JVM encode probe (no Spark): the encode-leg analog of
+    * DecodeProbe. One timed rep = stats + codec-select + encodeBlock over
+    * the fixed block set on `threads` threads, swept repeatedly until the
+    * rep is long enough to time reliably at high thread counts. Taken
+    * ADJACENT to each Spark encode rep at the SAME thread count, the
+    * paired (spark / probe) ratio cancels BOTH the steal window and the
+    * host's intrinsic thread plateau — the normalized scaling pairs then
+    * measure how well the Spark job scales relative to the pure-JVM
+    * ceiling at that core count, which is the number that extrapolates to
+    * a real multi-executor cluster (no shared-core plateau there). Round-4
+    * motivation: one steal window sank the driver-run local[32] leg to
+    * 0.137 GB/s (slower than local[8]) with a 6x rep spread — the raw
+    * number alone cannot defend itself.
+    */
+  private[graft] final class EncodeProbe(threads: Int) {
+    import EncodeProbeData._
+    gbpsOnce() // untimed JIT warmup (cold probes read 2-4x low)
+
+    /** one timed probe rep: GB/s of the fixed block set right now */
+    def gbpsOnce(): Double = {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(threads)
+      try {
+        var done = 0L
+        val t0 = System.nanoTime()
+        var elapsed = 0.0
+        var sweeps = 0
+        // >=0.2s of work: a single sweep at 32 threads is ~0.1s and would
+        // time mostly pool-scheduling jitter
+        while (sweeps == 0 || (elapsed < 0.2 && sweeps < 8)) {
+          val fs = blocks.zipWithIndex.map { case (b, i) =>
+            pool.submit(new java.util.concurrent.Callable[Long] {
+              def call(): Long = {
+                val codec = CodecSelector.select(BlockStats.compute("content", 0, b))
+                BlockCodec.encodeBlock("content", 0, i, b, codec).encodedBytes
+              }
+            })
+          }
+          fs.foreach(_.get())
+          done += rawBytes
+          sweeps += 1
+          elapsed = (System.nanoTime() - t0) / 1e9
+        }
+        done / elapsed / 1e9
+      } finally pool.shutdown() // an encode throw must not leak live threads
+    }
+  }
+
   /** one timed encode pass: returns (rawBytes, encodedBytes, seconds).
     * Partition count fixed across levels: same job, same work units — only
     * the core count varies.
@@ -208,8 +270,14 @@ object Bench {
 
     // ---- interleaved multi-level throughput runs, min per level ----
     // per-session small untimed warmup absorbs session-cold costs (executor
-    // init, codegen, file-index listing) that are not part of throughput
+    // init, codegen, file-index listing) that are not part of throughput.
+    // Each timed Spark rep gets an ADJACENT pure-JVM encode probe rep at
+    // the same thread count (the decode leg's paired-probe discipline): the
+    // per-rep (spark / probe) ratio is the steal-window-resistant figure.
+    val encProbes = levels.map(l => l -> new EncodeProbe(l)).toMap
     val reps = scala.collection.mutable.Map.empty[Int, List[Double]]
+    val probeReps = scala.collection.mutable.Map.empty[Int, List[Double]]
+    val ratioReps = scala.collection.mutable.Map.empty[Int, List[Double]]
     for (rep <- 1 to maxReps; level <- levels if repsFor(level) >= rep) {
       spark = session(level)
       val warm = spark.read.parquet(inputPath).limit(5000)
@@ -217,15 +285,37 @@ object Bench {
         Seq("repo", "path", "commit"),
         Encoder.EncodeConfig(numPartitions = nParts), skew)
         .agg(sum(col("encodedBytes"))).first()
+      val probeGbpsRep = encProbes(level).gbpsOnce()
       val (_, _, sec) = encodeRun(spark, inputPath, nParts, skew)
       spark.stop()
       reps(level) = sec :: reps.getOrElse(level, Nil)
+      probeReps(level) = probeGbpsRep :: probeReps.getOrElse(level, Nil)
+      ratioReps(level) = (rawBytes / sec / 1e9) / probeGbpsRep ::
+        ratioReps.getOrElse(level, Nil)
     }
     val best = levels.map(l => l -> reps(l).min).toMap
     val th = levels.map(l => l -> rawBytes / best(l) / 1e9).toMap
     def eff(a: Int, b: Int): Double = th(b) / ((b.toDouble / a) * th(a))
     val effPairs = levels.filter(a => levels.contains(4 * a))
       .map(a => (a, 4 * a, eff(a, 4 * a)))
+    // steal-normalized figures: median paired ratio per level (the decode
+    // leg's discipline). The probe at the same thread count embodies both
+    // the current window speed and the host's intrinsic thread plateau, so
+    // normPairs(a->b) ~ 1.0 means the Spark job scaled as well as the
+    // pure-JVM ceiling allows at b threads — the cluster-extrapolation
+    // number, immune to a steal window hitting one leg.
+    def median(xs: List[Double]): Double = {
+      val s = xs.sorted
+      if (s.isEmpty) 0.0
+      else if (s.length % 2 == 1) s(s.length / 2)
+      else (s(s.length / 2 - 1) + s(s.length / 2)) / 2
+    }
+    val encNorm = levels.map(l => l -> median(ratioReps(l))).toMap
+    val probeBest = levels.map(l => l -> probeReps(l).max).toMap
+    val normPairs = levels.filter(a => levels.contains(4 * a))
+      .map(a => (a, 4 * a,
+        if (encNorm(a) == 0) 0.0 else encNorm(4 * a) / encNorm(a)))
+    val headlineNorm = normPairs.map(_._3).maxOption.getOrElse(0.0)
     // efficiency > 1.0 is physically impossible for the same job at more
     // cores — it means the denominator leg's best rep still sat in a slower
     // window than the numerator's. Flag those pairs and clamp the headline
@@ -237,6 +327,10 @@ object Bench {
       s""""$k":{"min":$mn,"max":$mx}"""
     }.mkString("{", ",", "}")
     val thJson = levels.map(l => s""""local[$l]":${th(l)}""").mkString("{", ",", "}")
+    val probeJson = levels.map(l => s""""local[$l]":${probeBest(l)}""").mkString("{", ",", "}")
+    val normJson = levels.map(l => s""""local[$l]":${encNorm(l)}""").mkString("{", ",", "}")
+    val normPairsJson = normPairs.map { case (a, b, e) => s""""${a}->${b}":$e""" }
+      .mkString("{", ",", "}")
     val secJson = levels.map(l => s""""local[$l]":${best(l)}""").mkString("{", ",", "}")
     val secSpreadJson = levels.map(l =>
       s""""local[$l]":{"min":${reps(l).min},"max":${reps(l).max}}""")
@@ -265,6 +359,10 @@ object Bench {
         s""""decode_gbps":$decodeGbps,""" +
         s""""decode_probe_gbps":$probeGbps,""" +
         s""""decode_normalized":$decodeNorm,""" +
+        s""""encode_probe_gbps":$probeJson,""" +
+        s""""encode_normalized":$normJson,""" +
+        s""""scaling_normalized_pairs":$normPairsJson,""" +
+        s""""scaling_efficiency_normalized":$headlineNorm,""" +
         s""""scaling_efficiency_pairs":$effJson,""" +
         s""""window_suspect_pairs":${suspectPairs.map(p => s""""$p"""").mkString("[", ",", "]")},""" +
         s""""scaling_efficiency_raw":$headlineEffRaw,""" +
@@ -278,8 +376,11 @@ object Bench {
       f"|| scaling efficiency local[$a]→local[$b] (cores ×${b / a}) | $e%.3f$flag |"
     }.mkString("\n")
     val thLines = levels.map(l =>
-      f"|| throughput local[$l] | ${th(l)}%.3f GB/s (${best(l)}%.2f s, min of ${repsFor(l)} interleaved, rep spread ${reps(l).min}%.2f–${reps(l).max}%.2f s) |")
+      f"|| throughput local[$l] | ${th(l)}%.3f GB/s (${best(l)}%.2f s, min of ${repsFor(l)} interleaved, rep spread ${reps(l).min}%.2f–${reps(l).max}%.2f s; pure-JVM probe ${probeBest(l)}%.3f GB/s, median paired spark/probe ${encNorm(l)}%.3f) |")
       .mkString("\n")
+    val normLines = normPairs.map { case (a, b, e) =>
+      f"|| normalized scaling local[$a]→local[$b] (spark/probe ratio, steal- and plateau-immune) | $e%.3f |"
+    }.mkString("\n")
     val md =
       s"""# BENCH — encode throughput & scaling (generated by graft.Bench)
          |
@@ -296,8 +397,10 @@ object Bench {
          || decode probe (pure-JVM, $hi threads) | ${f"$probeGbps%.3f"} GB/s — same-session host yardstick |
          || decode normalized (median paired spark/probe) | ${f"$decodeNorm%.3f"} — cross-window-stable figure |
          || headline scaling efficiency | ${f"$headlineEff%.3f"} (raw ${f"$headlineEffRaw%.3f"}; pairs >1.0 flagged window-suspect) |
+         || headline NORMALIZED scaling | ${f"$headlineNorm%.3f"} — median paired (spark/probe) ratio of the 4N level over the N level; the probe at the same thread count absorbs both steal windows and the host's 32-thread plateau, so this is the figure that extrapolates to independent executors |
          $thLines
          $effLines
+         $normLines
          |""".stripMargin
     java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH.md"), md)
 

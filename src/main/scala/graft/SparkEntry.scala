@@ -34,6 +34,7 @@ object SparkEntry {
     "q_codec_selection" -> (CoreQueries.codecSelection _),
     "q_codec_decisions" -> (CoreQueries.codecDecisions _),
     "q_encode_metrics" -> (CoreQueries.encodeMetrics _),
+    "q_encode_blocks" -> (CoreQueries.encodeBlocks _),
     // relational coverage: agg / broadcast join / window / time window
     "q1_agg" -> (CoreQueries.q1Agg _),
     "q_join_revenue" -> (CoreQueries.joinRevenue _),
@@ -164,6 +165,20 @@ object SparkEntry {
     "q_fingerprint" -> OracleSql.fingerprint,
     "q_simhash" -> OracleSql.simhash,
     "q_media_stats" -> OracleSql.mediaStats,
+    // pins the block cutter: single-partition blockRows=64 encode makes
+    // n_blocks/n_rows/raw_bytes pure functions of the corpus (codec ids and
+    // encoded sizes stay rows-only in q_encode_metrics by contract)
+    "q_encode_blocks" ->
+      """WITH vals AS (
+        |  SELECT 'doc_id_s' AS col_name, CAST(doc_id AS VARCHAR) AS v FROM documents
+        |  UNION ALL SELECT 'text', text FROM documents
+        |  UNION ALL SELECT 'lang', lang FROM documents
+        |  UNION ALL SELECT 'source', source FROM documents)
+        |SELECT col_name,
+        |  (count(*) + 63) // 64 AS n_blocks,
+        |  count(*) AS n_rows,
+        |  CAST(sum(strlen(v)) AS BIGINT) AS raw_bytes
+        |FROM vals GROUP BY col_name ORDER BY col_name""".stripMargin,
     "q_embed_topk" -> OracleSql.embedTopK,
     "q_embed_lsh_topk" -> OracleSql.embedLshTopK(),
     "q_embed_lsh_buckets" -> OracleSql.embedLshBuckets(),

@@ -334,6 +334,28 @@ object CoreQueries {
       .orderBy("colName")
   }
 
+  /** Block-cutting arithmetic pinned by a DuckDB oracle: a single-partition
+    * encode with blockRows=64 makes blocks-per-column exactly ceil(N/64)
+    * (the 32 MB blockBytes early-cut cannot trigger at 64 document rows),
+    * rows = N, and raw_bytes = per-column UTF-8 byte totals (BlockCodec
+    * counts value bytes; nulls contribute 0 and docsAsStrings has none) —
+    * all three recomputable from the original table, so any drift in the
+    * cutter or the byte accounting fails the hash compare loudly.
+    * Codec ids / encoded sizes stay rows-only by contract in
+    * q_encode_metrics (prototype: tools/oracle_proto9.py).
+    */
+  def encodeBlocks(spark: SparkSession, sfDir: String): DataFrame = {
+    val df = docsAsStrings(spark, sfDir)
+    val cfg = Encoder.EncodeConfig(numPartitions = 1, blockRows = 64)
+    Encoder.encode(df, docCols, docSortKeys, cfg)
+      .groupBy(col("colName").as("col_name"))
+      .agg(
+        count(lit(1)).as("n_blocks"),
+        sum(col("rowCount")).cast("long").as("n_rows"),
+        sum(col("rawBytes")).cast("long").as("raw_bytes"))
+      .orderBy("col_name")
+  }
+
   // ---- relational coverage (agg / join / window / time-window) ----------
 
   def q1Agg(spark: SparkSession, sfDir: String): DataFrame =

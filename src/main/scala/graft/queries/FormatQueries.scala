@@ -29,13 +29,18 @@ object FormatQueries {
         sum(col("n_chars")).cast("long").as("total_chars"))
   }
 
-  /** documents → JSONL → YAML stream → read → per-source counts */
+  /** documents → JSONL → YAML stream → JSONL again (YamlToJson) → read →
+    * per-source counts: the full JsonToYaml AND YamlToJson transcode chain
+    * under one oracle — a lossy leg in either direction fails the
+    * counts/chars hash
+    */
   def yamlRoundtripAgg(spark: SparkSession, sfDir: String): DataFrame = {
     val dir = Tables.scratchDir("graft-q-yaml")
     val docs = load(spark, sfDir, "documents")
     Json.writeJsonl(docs, s"$dir/jsonl")
     Yaml.jsonToYaml(spark, s"$dir/jsonl", s"$dir/yaml")
-    Yaml.read(spark, s"$dir/yaml")
+    Yaml.yamlToJsonl(spark, s"$dir/yaml", s"$dir/jsonl2")
+    Json.read(spark, s"$dir/jsonl2", newLine = true)
       .groupBy(col("source"))
       .agg(count(lit(1)).as("cnt"), sum(col("n_chars")).cast("long").as("total_chars"))
   }

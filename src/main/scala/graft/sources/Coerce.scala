@@ -213,18 +213,32 @@ object Coerce {
     }
 
   /** whole-frame coercion ≙ AvroConverter.fromMap (:147-195): field-by-field
-    * convert with missing columns → null (the reference's alias fallback
-    * reduces to column lookup here). Nested struct/array/map fields recurse;
-    * logical-typed fields (metadata) go through logicalCell.
+    * convert with missing columns → null. Nested struct/array/map fields
+    * recurse; logical-typed fields (metadata) go through logicalCell.
+    *
+    * `aliases` is the reference's name-or-aliases fallback
+    * (avro/AvroConverter.java:133-145 getValueFromNameOrAliases): a target
+    * field absent under its own name is looked up under each alias in
+    * order. When several candidate columns exist, each is coerced to the
+    * target type and the results are COALESCED in name-then-alias order —
+    * the columnar form of the reference's per-record first-hit lookup
+    * (type-sound even when alias columns carry different source types).
     */
-  def frame(df: DataFrame, target: StructType, opts: CoerceOptions = CoerceOptions()): DataFrame = {
+  def frame(df: DataFrame, target: StructType,
+      opts: CoerceOptions = CoerceOptions(),
+      aliases: Map[String, Seq[String]] = Map.empty): DataFrame = {
     val src = df.schema
     val present = src.fieldNames.toSet
+    def coerced(f: StructField, srcName: String): Column =
+      if (f.metadata.contains(LogicalKey)) logicalCell(col(srcName), f, opts)
+      else cellTyped(col(srcName), src(srcName).dataType, f.dataType, opts)
     df.select(target.fields.map { f =>
-      if (!present(f.name)) lit(null).cast(f.dataType).as(f.name)
-      else if (f.metadata.contains(LogicalKey))
-        logicalCell(col(f.name), f, opts).as(f.name)
-      else cellTyped(col(f.name), src(f.name).dataType, f.dataType, opts).as(f.name)
+      val candidates = (f.name +: aliases.getOrElse(f.name, Nil)).filter(present)
+      candidates match {
+        case Seq() => lit(null).cast(f.dataType).as(f.name)
+        case Seq(one) => coerced(f, one).as(f.name)
+        case many => coalesce(many.map(coerced(f, _)): _*).as(f.name)
+      }
     }.toIndexedSeq: _*)
   }
 

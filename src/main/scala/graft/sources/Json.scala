@@ -16,16 +16,34 @@ object Json {
       .option("encoding", charset)
       .json(path)
 
-  /** JSONL writer (one object per line — the reference's default ION→JSON) */
-  def writeJsonl(df: DataFrame, path: String): Unit =
-    df.write.mode("overwrite").json(path)
+  /** JSONL writer (one object per line — the reference's default ION→JSON).
+    * `timeZoneId` renders timestamp columns in that zone (reference:
+    * json/IonToJson.java:391-397 formats timestamps with a per-task
+    * DateTimeFormatter zoned to the task's timeZoneId) — mapped to Spark's
+    * native JSON writer `timeZone` option, which zones the JSON
+    * timestampFormat exactly like the reference's formatter.
+    */
+  def writeJsonl(df: DataFrame, path: String,
+      timeZoneId: Option[String] = None): Unit = {
+    val w = df.write.mode("overwrite")
+    timeZoneId.fold(w)(tz => w.option("timeZone", tz)).json(path)
+  }
 
   /** whole-file JSON array writer (reference: IonToJson newLine=false path,
     * json/IonToJson.java:239-267). One file; rows streamed, not collected.
+    * `timeZoneId` as in writeJsonl (here via to_json's timeZone option —
+    * toJSON takes no options).
     */
-  def writeJsonArray(df: DataFrame, path: String): Unit = {
+  def writeJsonArray(df: DataFrame, path: String,
+      timeZoneId: Option[String] = None): Unit = {
     import df.sparkSession.implicits._
-    val json = df.toJSON.coalesce(1).mapPartitions { it =>
+    import org.apache.spark.sql.functions.{col, struct, to_json}
+    val rendered = timeZoneId match {
+      case None => df.toJSON
+      case Some(tz) => df.select(to_json(struct(df.columns.map(col)
+        .toIndexedSeq: _*), Map("timeZone" -> tz))).as[String]
+    }
+    val json = rendered.coalesce(1).mapPartitions { it =>
       new Iterator[String] {
         private var started = false
         private var done = false

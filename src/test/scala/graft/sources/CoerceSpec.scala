@@ -255,6 +255,36 @@ class CoerceSpec extends AnyFunSuite {
     assert(r1.isNullAt(r1.fieldIndex("n"))) // "NA" nullified inside the struct
   }
 
+  test("field-alias fallback: aliased CSV headers coerce under the schema name") {
+    // ≙ reference getValueFromNameOrAliases (avro/AvroConverter.java:133-145):
+    // a field absent under its own name is found under an alias; with BOTH a
+    // name and an alias column present, values coalesce name-first per row
+    val dir = java.nio.file.Files.createTempDirectory("graft-alias").toString
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(dir, "a.csv"),
+      "ident,user_name,score\n1,alice,3\n2,bob,4\nNA,carol,5\n")
+    val raw = Csv.read(spark, s"$dir/a.csv")
+    val target = StructType(Seq(
+      StructField("id", LongType),
+      StructField("name", StringType),
+      StructField("score", IntegerType),
+      StructField("city", StringType)))
+    val out = Coerce.frame(raw, target,
+      aliases = Map("id" -> Seq("ident"), "name" -> Seq("user_name"),
+        "city" -> Seq("town"))).orderBy("name").collect()
+    assert(out.map(_.getString(1)).toSeq == Seq("alice", "bob", "carol"))
+    assert(out(0).getLong(0) == 1L && out(1).getLong(0) == 2L)
+    assert(out(2).isNullAt(0)) // "NA" nullified through the alias too
+    assert(out.forall(_.isNullAt(3))) // no candidate column at all -> null
+    // name + alias both present: per-row coalesce, name first
+    import spark.implicits._
+    val both = Seq((null.asInstanceOf[String], "fallback", "x"),
+      ("primary", "shadowed", "y")).toDF("name", "user_name", "k")
+    val merged = Coerce.frame(both,
+      StructType(Seq(StructField("name", StringType), StructField("k", StringType))),
+      aliases = Map("name" -> Seq("user_name"))).orderBy("k").collect()
+    assert(merged.map(_.getString(0)).toSeq == Seq("fallback", "primary"))
+  }
+
   test("nested inference: struct field-union merge, array element widening") {
     val src = spark.read.json(spark.createDataset(Seq(
       """{"rec":{"a":"1","b":"x"},"arr":["1","2"]}""",

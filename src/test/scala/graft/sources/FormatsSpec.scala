@@ -108,6 +108,31 @@ class FormatsSpec extends AnyFunSuite {
     assert(sortedRows(backA.select(df.columns.map(col): _*)) == sortedRows(df))
   }
 
+  test("json writer timeZoneId renders timestamps in the requested zone") {
+    // ≙ reference json/IonToJson.java:391-397: timestamps format through a
+    // DateTimeFormatter zoned to the task's timeZoneId — same instant, zone
+    // wall clock + offset in the text, round-trips to the identical instant
+    val dir = tmp()
+    import spark.implicits._
+    val df = Seq((1L, java.sql.Timestamp.from(
+      java.time.Instant.parse("2024-01-15T12:00:00Z")))).toDF("id", "ts")
+    Json.writeJsonl(df, s"$dir/ny", timeZoneId = Some("America/New_York"))
+    val text = spark.read.textFile(s"$dir/ny").collect().mkString("\n")
+    assert(text.contains("07:00:00"), s"NY wall clock expected in: $text")
+    assert(text.contains("-05:00"), s"NY offset expected in: $text")
+    val back = Json.read(spark, s"$dir/ny", newLine = true)
+      .select(col("ts").cast("timestamp")).head().getTimestamp(0)
+    assert(back.toInstant == java.time.Instant.parse("2024-01-15T12:00:00Z"))
+    // array writer path (to_json options)
+    Json.writeJsonArray(df, s"$dir/nya", timeZoneId = Some("America/New_York"))
+    val arrText = spark.read.textFile(s"$dir/nya").collect().mkString("\n")
+    assert(arrText.contains("07:00:00") && arrText.contains("-05:00"), arrText)
+    // default stays session-zone (UTC here): no offset suffix change
+    Json.writeJsonl(df, s"$dir/utc")
+    val utcText = spark.read.textFile(s"$dir/utc").collect().mkString("\n")
+    assert(utcText.contains("12:00:00"), utcText)
+  }
+
   test("yaml multi-document round-trip") {
     val dir = tmp()
     val df = fixture
