@@ -67,11 +67,17 @@ object Fsst extends Codec {
       }
     }
 
-    // ---- 2-byte dispatch for the encode hot loop: symbols of len ≥ 2
-    // bucketed by their first TWO bytes (the per-first-byte buckets above
-    // stay for training, where tables are tiny); single-byte symbols get a
-    // direct 256-entry code table. Hot buckets shrink from "all symbols
-    // sharing one byte" to "all symbols sharing two", typically 1–2 entries.
+    // ---- 3-tier dispatch for the encode hot loop (the shortCodes idea
+    // from the published FSST encoder, Boncz et al. §4, re-derived for a
+    // scan that stays EXACT longest-match):
+    //   len ≥ 3   2-byte-pair buckets, linear scan longest-first (below)
+    //   len ≤ 2   short2: one direct 65536-entry lookup — the 2-byte
+    //             symbol for the pair if any, else the 1-byte symbol for
+    //             b0, else the escape sentinel. At most ONE len-2 symbol
+    //             can match a pair (matching = byte equality), so a direct
+    //             table IS the longest-match answer for len ≤ 2 and the
+    //             encoded bytes are identical to scanning.
+    //   avail=1   oneByte direct table (no second byte to index short2)
     //
     // Storage is FLAT: a 65536-entry int index (offset<<9 | count, in
     // triplets) into one shared ≤6 KiB triplet array — ≤255 symbols × 3
@@ -79,7 +85,7 @@ object Fsst extends Codec {
     // small arrays whose dependent loads miss cache on every hot position.
     private val miniIdx: Array[Int] = new Array[Int](65536) // (offset<<9)|count
     private val miniData: Array[Long] = {
-      // group len≥2 symbols by (b0, b1): (pairIdx, bucketPos) keeps the
+      // group len≥3 symbols by (b0, b1): (pairIdx, bucketPos) keeps the
       // len-desc bucket order within each pair group
       val byPair = scala.collection.mutable.TreeMap.empty[Int, List[(Int, Int)]]
       var b0 = 0
@@ -88,7 +94,7 @@ object Fsst extends Codec {
         var i = 0
         while (i < list.length) {
           val len = (list(i + 2) & 0xffL).toInt
-          if (len >= 2) {
+          if (len >= 3) {
             val b1 = ((list(i + 1) >>> 8) & 0xffL).toInt
             val idx = (b0 << 8) | b1
             byPair(idx) = byPair.getOrElse(idx, Nil) :+ ((b0, i))
@@ -128,8 +134,37 @@ object Fsst extends Codec {
       t
     }
 
-    // 8 KiB L1-resident bitmap over the 2-byte pairs with any len≥2
-    // candidate: 34% of content positions have none (FsstProbe's
+    /** len ≤ 2 longest-match answer per 2-byte pair, as one 128 KiB Char
+      * table: packed (code<<8 | len) of the exact len-2 symbol for the
+      * pair when one exists, else of b0's len-1 symbol, else 0xffff
+      * (escape). code ≤ 254 so packed ≤ 0xfe02 — the sentinel can't
+      * collide. Replaces the len-2 entries in the scan above with a single
+      * dependent load.
+      */
+    private val short2: Array[Char] = {
+      val t = new Array[Char](65536)
+      Arrays.fill(t, 0xffff.toChar)
+      var b0 = 0
+      while (b0 < 256) {
+        if (oneByte(b0) >= 0) {
+          val v = oneByte(b0).toChar
+          var b1 = 0
+          while (b1 < 256) { t((b0 << 8) | b1) = v; b1 += 1 }
+        }
+        b0 += 1
+      }
+      var c = 0
+      while (c < symbols.length) {
+        val s = symbols(c)
+        if (s.length == 2)
+          t(((s(0) & 0xff) << 8) | (s(1) & 0xff)) = ((c << 8) | 2).toChar
+        c += 1
+      }
+      t
+    }
+
+    // 8 KiB L1-resident bitmap over the 2-byte pairs with any len≥3
+    // candidate (most content positions have none — FsstProbe's
     // no-candidate-pair counter measures the bit directly), and the bit
     // test spares them the 256 KiB miniIdx load
     private val miniHas: Array[Long] = {
@@ -146,6 +181,7 @@ object Fsst extends Codec {
     private[Fsst] def idxArr: Array[Int] = miniIdx
     private[Fsst] def dataArr: Array[Long] = miniData
     private[Fsst] def oneArr: Array[Int] = oneByte
+    private[Fsst] def shortArr: Array[Char] = short2
     private[graft] def hasArr: Array[Long] = miniHas // graft: FsstProbe reads it
 
     /** longest symbol matching data[pos..end); returns (code<<8 | len)
@@ -153,10 +189,9 @@ object Fsst extends Codec {
       * none
       */
     def findLongestPacked(data: Array[Byte], pos: Int, end: Int): Int = {
-      val b0 = data(pos) & 0xff
       val avail = end - pos
       if (avail >= 2) {
-        val pair = (b0 << 8) | (data(pos + 1) & 0xff)
+        val pair = ((data(pos) & 0xff) << 8) | (data(pos + 1) & 0xff)
         // Long shift uses the count mod 64, so `1L << pair` is the bit test
         val oc = if ((miniHas(pair >>> 6) & (1L << pair)) != 0) miniIdx(pair) else 0
         if (oc != 0) {
@@ -179,8 +214,9 @@ object Fsst extends Codec {
             }
           }
         }
-      }
-      oneByte(b0)
+        val s = short2(pair)
+        if (s != 0xffff) s else -1
+      } else oneByte(data(pos) & 0xff)
     }
 
     /** longest symbol code only (training path) */
@@ -286,7 +322,7 @@ object Fsst extends Codec {
     // straight-line
     val miniIdx = table.idxArr
     val miniData = table.dataArr
-    val oneByte = table.oneArr
+    val short2 = table.shortArr
     val miniHas = table.hasArr
     val payload = new ByteWriter(4096)
     var scratch = new Array[Byte](1024) // raw reusable code buffer
@@ -300,8 +336,7 @@ object Fsst extends Codec {
       var pos = 0
       val nBulk = n - 8 // positions where a full 8-byte window exists
       while (pos <= nBulk) {
-        val b0 = v(pos) & 0xff
-        val pair = (b0 << 8) | (v(pos + 1) & 0xff)
+        val pair = ((v(pos) & 0xff) << 8) | (v(pos + 1) & 0xff)
         var packed = -1
         if ((miniHas(pair >>> 6) & (1L << pair)) != 0) {
           val oc = miniIdx(pair)
@@ -313,7 +348,10 @@ object Fsst extends Codec {
             k += 3
           }
         }
-        if (packed < 0) packed = oneByte(b0)
+        if (packed < 0) {
+          val s = short2(pair)
+          packed = if (s != 0xffff) s else -1
+        }
         if (packed >= 0) {
           buf(out) = (packed >>> 8).toByte
           out += 1
