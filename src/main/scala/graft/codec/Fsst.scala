@@ -67,23 +67,30 @@ object Fsst extends Codec {
       }
     }
 
-    // ---- 3-tier dispatch for the encode hot loop (the shortCodes idea
-    // from the published FSST encoder, Boncz et al. §4, re-derived for a
-    // scan that stays EXACT longest-match):
-    //   len ≥ 3   2-byte-pair buckets, linear scan longest-first (below)
-    //   len ≤ 2   short2: one direct 65536-entry lookup — the 2-byte
-    //             symbol for the pair if any, else the 1-byte symbol for
-    //             b0, else the escape sentinel. At most ONE len-2 symbol
-    //             can match a pair (matching = byte equality), so a direct
-    //             table IS the longest-match answer for len ≤ 2 and the
-    //             encoded bytes are identical to scanning.
-    //   avail=1   oneByte direct table (no second byte to index short2)
+    // ---- single-load dispatch for the encode hot loop (the shortCodes
+    // idea from the published FSST encoder, Boncz et al. §4, re-derived
+    // for a scan that stays EXACT longest-match). One 256 KiB int table
+    // `combo`, indexed by the position's first TWO bytes, answers BOTH
+    // tiers in one dependent load:
+    //   high 16 bits  1 + start (long index) of the pair's len≥3 triplet
+    //                 group in miniData (0 = no group); groups are
+    //                 contiguous and self-terminating — each triplet's
+    //                 third long carries its own pair in bits 40..55, so
+    //                 the scan stops on the first triplet of another pair
+    //                 with no separate count field or bitmap
+    //   low 16 bits   the len ≤ 2 longest-match answer, packed
+    //                 (code<<8 | len): the exact len-2 symbol for the pair
+    //                 when one exists (at most ONE len-2 symbol can match
+    //                 a pair — matching = byte equality), else b0's len-1
+    //                 symbol, else 0xff01 = the ESCAPE baked in packed
+    //                 form (code 255, advance 1) so the hot loop emits
+    //                 every position through the same branch-free stores.
+    //   avail=1       oneByte direct table (no second byte to index combo)
     //
-    // Storage is FLAT: a 65536-entry int index (offset<<9 | count, in
-    // triplets) into one shared ≤6 KiB triplet array — ≤255 symbols × 3
-    // longs stays L1-resident, vs. a 512 KiB array of pointers to scattered
-    // small arrays whose dependent loads miss cache on every hot position.
-    private val miniIdx: Array[Int] = new Array[Int](65536) // (offset<<9)|count
+    // The triplet array itself is ≤6 KiB (≤255 symbols × 3 longs) and
+    // L1-resident; everything the matcher touches per position is combo
+    // (one load) + that array.
+    private val miniIdx: Array[Int] = new Array[Int](65536) // build-time: (longOffset+1)
     private val miniData: Array[Long] = {
       // group len≥3 symbols by (b0, b1): (pairIdx, bucketPos) keeps the
       // len-desc bucket order within each pair group
@@ -106,12 +113,14 @@ object Fsst extends Codec {
       val data = new Array[Long](byPair.valuesIterator.map(_.length).sum * 3)
       var off = 0
       byPair.foreach { case (idx, entries) =>
-        miniIdx(idx) = (off << 9) | entries.length // ≤255 symbols → both fit
+        miniIdx(idx) = off + 1 // long index + 1 (≤ 766, fits 16 bits)
         entries.foreach { case (bb0, i) =>
           val list = buckets(bb0)
           data(off) = list(i)
           data(off + 1) = list(i + 1)
-          data(off + 2) = list(i + 2)
+          // pair in bits 40..55 terminates the group scan; .toInt of the
+          // long recovers the packed (code<<8 | len) untouched
+          data(off + 2) = (idx.toLong << 40) | list(i + 2)
           off += 3
         }
       }
@@ -134,55 +143,40 @@ object Fsst extends Codec {
       t
     }
 
-    /** len ≤ 2 longest-match answer per 2-byte pair, as one 128 KiB Char
-      * table: packed (code<<8 | len) of the exact len-2 symbol for the
-      * pair when one exists, else of b0's len-1 symbol, else 0xffff
-      * (escape). code ≤ 254 so packed ≤ 0xfe02 — the sentinel can't
-      * collide. Replaces the len-2 entries in the scan above with a single
-      * dependent load.
+    /** the single-load dispatch table described above:
+      * (groupStart+1) << 16 | len≤2 packed answer (0xff01 = escape)
       */
-    private val short2: Array[Char] = {
-      val t = new Array[Char](65536)
-      Arrays.fill(t, 0xffff.toChar)
+    private val combo: Array[Int] = {
+      val t = new Array[Int](65536)
+      // len ≤ 2 tier: b0's len-1 symbol under every second byte…
       var b0 = 0
       while (b0 < 256) {
-        if (oneByte(b0) >= 0) {
-          val v = oneByte(b0).toChar
-          var b1 = 0
-          while (b1 < 256) { t((b0 << 8) | b1) = v; b1 += 1 }
-        }
+        val v = if (oneByte(b0) >= 0) oneByte(b0) else 0xff01
+        var b1 = 0
+        while (b1 < 256) { t((b0 << 8) | b1) = v; b1 += 1 }
         b0 += 1
       }
+      // …overridden by the exact len-2 symbol where one exists
       var c = 0
       while (c < symbols.length) {
         val s = symbols(c)
         if (s.length == 2)
-          t(((s(0) & 0xff) << 8) | (s(1) & 0xff)) = ((c << 8) | 2).toChar
+          t(((s(0) & 0xff) << 8) | (s(1) & 0xff)) = (c << 8) | 2
         c += 1
+      }
+      // len ≥ 3 tier: the group start from the miniData build
+      var p = 0
+      while (p < 65536) {
+        t(p) |= miniIdx(p) << 16
+        p += 1
       }
       t
     }
 
-    // 8 KiB L1-resident bitmap over the 2-byte pairs with any len≥3
-    // candidate (most content positions have none — FsstProbe's
-    // no-candidate-pair counter measures the bit directly), and the bit
-    // test spares them the 256 KiB miniIdx load
-    private val miniHas: Array[Long] = {
-      val h = new Array[Long](1024)
-      var i = 0
-      while (i < 65536) {
-        if (miniIdx(i) != 0) h(i >>> 6) |= 1L << (i & 63)
-        i += 1
-      }
-      h
-    }
-
     // exposed to the encode hot loop so it can keep them in locals
-    private[Fsst] def idxArr: Array[Int] = miniIdx
     private[Fsst] def dataArr: Array[Long] = miniData
     private[Fsst] def oneArr: Array[Int] = oneByte
-    private[Fsst] def shortArr: Array[Char] = short2
-    private[graft] def hasArr: Array[Long] = miniHas // graft: FsstProbe reads it
+    private[graft] def comboArr: Array[Int] = combo // graft: FsstProbe reads it
 
     /** longest symbol matching data[pos..end); returns (code<<8 | len)
       * packed so the hot loop never dereferences the symbols array; -1 if
@@ -192,14 +186,14 @@ object Fsst extends Codec {
       val avail = end - pos
       if (avail >= 2) {
         val pair = ((data(pos) & 0xff) << 8) | (data(pos + 1) & 0xff)
-        // Long shift uses the count mod 64, so `1L << pair` is the bit test
-        val oc = if ((miniHas(pair >>> 6) & (1L << pair)) != 0) miniIdx(pair) else 0
-        if (oc != 0) {
-          var i = oc >>> 9
-          val stop = i + (oc & 0x1ff) * 3
+        val e = combo(pair)
+        var i = e >>> 16
+        if (i != 0) {
+          i -= 1
+          val dlen = miniData.length
           if (avail >= 8) {
             val w = LE_LONG.get(data, pos).asInstanceOf[Long]
-            while (i < stop) {
+            while (i < dlen && (miniData(i + 2) >>> 40).toInt == pair) {
               if ((w & miniData(i)) == miniData(i + 1)) return miniData(i + 2).toInt
               i += 3
             }
@@ -207,15 +201,15 @@ object Fsst extends Codec {
             var w = 0L
             var j = 0
             while (j < avail) { w |= (data(pos + j).toLong & 0xffL) << (8 * j); j += 1 }
-            while (i < stop) {
+            while (i < dlen && (miniData(i + 2) >>> 40).toInt == pair) {
               if ((miniData(i + 2) & 0xffL) <= avail && (w & miniData(i)) == miniData(i + 1))
                 return miniData(i + 2).toInt
               i += 3
             }
           }
         }
-        val s = short2(pair)
-        if (s != 0xffff) s else -1
+        val s = e & 0xffff
+        if (s != 0xff01) s else -1
       } else oneByte(data(pos) & 0xff)
     }
 
@@ -320,10 +314,9 @@ object Fsst extends Codec {
     // in locals — no field loads through `table` per position, and the
     // common case (avail ≥ 8, 0–2 candidates in the 2-byte bucket) runs
     // straight-line
-    val miniIdx = table.idxArr
+    val combo = table.comboArr
     val miniData = table.dataArr
-    val short2 = table.shortArr
-    val miniHas = table.hasArr
+    val dlen = miniData.length
     val payload = new ByteWriter(4096)
     var scratch = new Array[Byte](1024) // raw reusable code buffer
     var i = 0
@@ -337,31 +330,28 @@ object Fsst extends Codec {
       val nBulk = n - 8 // positions where a full 8-byte window exists
       while (pos <= nBulk) {
         val pair = ((v(pos) & 0xff) << 8) | (v(pos + 1) & 0xff)
-        var packed = -1
-        if ((miniHas(pair >>> 6) & (1L << pair)) != 0) {
-          val oc = miniIdx(pair)
-          var k = oc >>> 9
-          val stop = k + (oc & 0x1ff) * 3
+        val e = combo(pair) // ONE dependent load answers both tiers
+        var packed = e & 0xffff // len≤2 answer (or packed escape)
+        var k = e >>> 16
+        if (k != 0) { // pair has a len≥3 group: self-terminating scan
+          k -= 1
           val w = LE_LONG.get(v, pos).asInstanceOf[Long]
-          while (packed < 0 && k < stop) {
-            if ((w & miniData(k)) == miniData(k + 1)) packed = miniData(k + 2).toInt
+          var found = 0 // (code<<8 | len) is never 0 (len >= 1)
+          while (found == 0 && k < dlen && (miniData(k + 2) >>> 40).toInt == pair) {
+            if ((w & miniData(k)) == miniData(k + 1)) found = miniData(k + 2).toInt
             k += 3
           }
+          if (found != 0) packed = found
         }
-        if (packed < 0) {
-          val s = short2(pair)
-          packed = if (s != 0xffff) s else -1
-        }
-        if (packed >= 0) {
-          buf(out) = (packed >>> 8).toByte
-          out += 1
-          pos += packed & 0xff
-        } else {
-          buf(out) = EscapeCode.toByte
-          buf(out + 1) = v(pos)
-          out += 2
-          pos += 1
-        }
+        // branch-free emit: every position writes a (code, literal) pair;
+        // the literal byte is only KEPT when code is the escape (out
+        // advances 2), otherwise the next iteration overwrites it — the
+        // escape-vs-symbol branch was the hot loop's least predictable
+        val code = packed >>> 8
+        buf(out) = code.toByte
+        buf(out + 1) = v(pos)
+        out += 1 + ((code + 1) >>> 8) // +1 iff code == 255 (escape)
+        pos += packed & 0xff
       }
       while (pos < n) { // tail: windows shorter than 8 bytes
         val packed = table.findLongestPacked(v, pos, n)

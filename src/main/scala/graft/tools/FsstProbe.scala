@@ -10,16 +10,16 @@ object FsstProbe {
     val cfg = DataGen.GenConfig(rows = rows)
     val vals = (0L until rows).map(i => DataGen.row(i, cfg).content.getBytes("UTF-8")).toArray
     val table = new Fsst.Table(Fsst.train(vals))
-    val miniHas = table.hasArr
+    val combo = table.comboArr
     var total = 0L; var twoByteHit = 0L; var oneByteFallback = 0L; var escape = 0L
-    var noCand = 0L // pair has NO len≥2 candidate — the bitmap's hit rate
+    var noCand = 0L // pair has NO len≥3 group — the scan-skip rate
     vals.foreach { v =>
       var pos = 0
       while (pos < v.length) {
         total += 1
         if (pos + 1 < v.length) {
           val pair = ((v(pos) & 0xff) << 8) | (v(pos + 1) & 0xff)
-          if ((miniHas(pair >>> 6) & (1L << pair)) == 0) noCand += 1
+          if ((combo(pair) >>> 16) == 0) noCand += 1
         }
         val p = table.findLongestPacked(v, pos, v.length)
         if (p >= 0) {
