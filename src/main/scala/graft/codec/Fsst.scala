@@ -313,7 +313,13 @@ object Fsst extends Codec {
     // hot loop: the match is inlined here with the table's flat arrays held
     // in locals — no field loads through `table` per position, and the
     // common case (avail ≥ 8, 0–2 candidates in the 2-byte bucket) runs
-    // straight-line
+    // straight-line.
+    // Measured dead ends (interleaved min-of-N A/B on this JVM, all
+    // byte-identical output): one 8-byte window load per position instead
+    // of two byte loads = 0.93x; LE-short pair load into a byte-swapped
+    // dispatch table = 0.71x; short-store emit = 1.01x (noise); two-string
+    // lockstep to hide the dependent-chain latency = 0.90x. The two plain
+    // byte loads + byte stores below win — don't re-chase these.
     val combo = table.comboArr
     val miniData = table.dataArr
     val dlen = miniData.length

@@ -50,6 +50,9 @@ object BlockCodec {
       blockIdx: Int,
       values: Array[Array[Byte]],
       preferred: Codec,
+      // measured on FSST'd content: level 1 compresses the wrap 2.6x
+      // faster but lands at 4.5x of raw vs level 3's 5.5x — level 3 keeps
+      // the size bars' headroom; flip to 1 when ingest speed outranks size
       zstdLevel: Int = 3,
       /** pre-trained per-(partition,column) FSST table; null → train per block */
       fsstTable: Fsst.Table = null): EncodedBlock = {
