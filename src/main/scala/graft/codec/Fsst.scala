@@ -90,7 +90,6 @@ object Fsst extends Codec {
     // The triplet array itself is ≤6 KiB (≤255 symbols × 3 longs) and
     // L1-resident; everything the matcher touches per position is combo
     // (one load) + that array.
-    private val miniIdx: Array[Int] = new Array[Int](65536) // build-time: (longOffset+1)
     private val miniData: Array[Long] = {
       // group len≥3 symbols by (b0, b1): (pairIdx, bucketPos) keeps the
       // len-desc bucket order within each pair group
@@ -113,7 +112,6 @@ object Fsst extends Codec {
       val data = new Array[Long](byPair.valuesIterator.map(_.length).sum * 3)
       var off = 0
       byPair.foreach { case (idx, entries) =>
-        miniIdx(idx) = off + 1 // long index + 1 (≤ 766, fits 16 bits)
         entries.foreach { case (bb0, i) =>
           val list = buckets(bb0)
           data(off) = list(i)
@@ -164,18 +162,20 @@ object Fsst extends Codec {
           t(((s(0) & 0xff) << 8) | (s(1) & 0xff)) = (c << 8) | 2
         c += 1
       }
-      // len ≥ 3 tier: the group start from the miniData build
-      var p = 0
-      while (p < 65536) {
-        t(p) |= miniIdx(p) << 16
-        p += 1
+      // len ≥ 3 tier: group starts recovered from miniData itself (groups
+      // are contiguous, pair-ordered) — first triplet of each pair wins,
+      // stored as (longOffset+1) so 0 keeps meaning "no group"
+      var k = 0
+      while (k < miniData.length) {
+        val pair = (miniData(k + 2) >>> 40).toInt
+        if ((t(pair) >>> 16) == 0) t(pair) |= (k + 1) << 16
+        k += 3
       }
       t
     }
 
     // exposed to the encode hot loop so it can keep them in locals
     private[Fsst] def dataArr: Array[Long] = miniData
-    private[Fsst] def oneArr: Array[Int] = oneByte
     private[graft] def comboArr: Array[Int] = combo // graft: FsstProbe reads it
 
     /** longest symbol matching data[pos..end); returns (code<<8 | len)

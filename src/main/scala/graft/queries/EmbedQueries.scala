@@ -59,18 +59,12 @@ object EmbedQueries {
         (x, y) => x.cast("double") * y), lit(0.0), _ + _) / den)
   }
 
-  /** corpus row count memoized per (sfDir, JVM): five embed queries size
-    * bits/cells from it, and Bench re-runs each query twice — without the
-    * memo every run pays one redundant count job (the CoreQueries.docStore
-    * pattern; the driver's testdata is immutable for the JVM's lifetime).
-    * The count itself is cheap (parquet metadata), so a plain CHM compute
-    * is safe here — unlike docStore's multi-minute encode.
+  /** corpus row count, memoized per (sfDir, JVM) in Tables.rowCount: five
+    * embed queries size bits/cells from it and Bench re-runs each query
+    * twice — without the memo every run pays one redundant count job
     */
-  private val corpusCounts =
-    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
   private def corpusCount(spark: SparkSession, sfDir: String): Long =
-    corpusCounts.computeIfAbsent(sfDir,
-      _ => load(spark, sfDir, "embeddings").count()).longValue()
+    Tables.rowCount(spark, sfDir, "embeddings")
 
   /** brute-force cosine top-k for the first NumQueries vectors (baseline):
     * small query side broadcast against the full corpus.
@@ -331,11 +325,24 @@ object EmbedQueries {
     * would hold the bin lock across a multi-second Spark job); a dangling
     * entry (scratch dir swept externally) drops and rebuilds.
     */
-  private final class GraphHolder(mk: () => String) { lazy val dir: String = mk() }
+  private final class GraphHolder(mk0: () => String) {
+    // drop the builder closure once it has run: it captures the building
+    // session's plan graph (SparkSession, DataFrames), which must not stay
+    // reachable from this JVM-lifetime CHM entry after the one-shot build.
+    // A build that THROWS leaves mk set — lazy val re-evaluates next call.
+    private var mk = mk0
+    lazy val dir: String = { val d = mk(); mk = null; d }
+  }
   private val pairGraphStore =
     new java.util.concurrent.ConcurrentHashMap[String, GraphHolder]()
   @annotation.tailrec
-  private def scoredPairGraph(spark: SparkSession, sfDir: String): DataFrame = {
+  private def scoredPairGraph(spark: SparkSession, sfDir: String,
+      attempt: Int = 0): DataFrame = {
+    // a committed write without _SUCCESS is not a sweep race but a
+    // committer configured to skip markers (marksuccessfuljobs=false) —
+    // retrying would rebuild the full LSH+join job forever
+    require(attempt < 3, s"pair-graph parquet for $sfDir repeatedly " +
+      "committed without _SUCCESS — committer writes no success markers?")
     val h = pairGraphStore.computeIfAbsent(sfDir, _ => new GraphHolder(() => {
       val dir = Tables.scratchDir("graft-q-pairgraph")
       val base = load(spark, sfDir, "embeddings").select(col("vec_id"), col("embedding"))
@@ -353,7 +360,7 @@ object EmbedQueries {
       spark.read.parquet(d)
     else {
       pairGraphStore.remove(sfDir, h)
-      scoredPairGraph(spark, sfDir)
+      scoredPairGraph(spark, sfDir, attempt + 1)
     }
   }
 

@@ -223,6 +223,10 @@ object Coerce {
     * target type and the results are COALESCED in name-then-alias order —
     * the columnar form of the reference's per-record first-hit lookup
     * (type-sound even when alias columns carry different source types).
+    * Per-row value coalesce — NOT schema-level column presence — is the
+    * faithful translation: the reference falls through to aliases whenever
+    * the name's VALUE is null (`value != null || aliases == null`,
+    * AvroConverter.java:135-137), not only when the key is absent.
     */
   def frame(df: DataFrame, target: StructType,
       opts: CoerceOptions = CoerceOptions(),

@@ -40,8 +40,14 @@ private[sources] object SinkDirs {
     // (avro sync markers, zip CRCs), and a local-FS checksum would turn
     // any out-of-band edit into a ChecksumException masking the format's
     // own typed error handling (no-op on HDFS, which checksums natively)
-    fs.setWriteChecksum(false)
-    val raw = fs.create(p, true)
+    // until the closing wrapper owns fs, a throw here (bad path,
+    // permissions) must close the instance or it leaks in Hadoop's
+    // unique-keyed FS cache — one instance per failed task attempt
+    val raw =
+      try {
+        fs.setWriteChecksum(false)
+        fs.create(p, true)
+      } catch { case t: Throwable => fs.close(); throw t }
     new java.io.FilterOutputStream(raw) {
       // FilterOutputStream writes arrays byte-at-a-time — delegate bulk
       override def write(b: Array[Byte], off: Int, len: Int): Unit =
