@@ -71,7 +71,8 @@ object SparkEntry {
     "q_protobuf_roundtrip" -> (FormatQueries.protobufRoundtripAgg _),
     "q_markdown_stats" -> (FormatQueries.markdownStats _),
     "q_infer_schema" -> (FormatQueries.inferredSchema _),
-    "q_coerce_union" -> (FormatQueries.coerceUnion _)
+    "q_coerce_union" -> (FormatQueries.coerceUnion _),
+    "q_serde_errors" -> (FormatQueries.serdeErrors _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -204,6 +205,7 @@ object SparkEntry {
         |  CAST(sum(len(lang) + 2 + len(text)) AS BIGINT) AS total_rt_len
         |FROM documents GROUP BY lang""".stripMargin,
     "q_infer_schema" -> OracleSql.inferSchema,
+    "q_serde_errors" -> OracleSql.serdeErrors,
     // pins CodecSelector's decision tree branch-by-branch (see
     // CoreQueries.codecDecisions — crafted probe distributions)
     "q_codec_decisions" ->

@@ -275,4 +275,67 @@ object FormatQueries {
       .toDF("col_name", "inferred_type")
       .orderBy("col_name")
   }
+
+  /** serde error taxonomy driven end-to-end (≙ reference
+    * avro/AvroConverter.java:630-695 IllegalRow/IllegalCell + the 250-char
+    * data-echo discipline at :619-627): each customer row is encoded with
+    * the real protobuf wire encoders, a deterministic fault is injected by
+    * c_custkey % 7 — residue 3 appends an undeclared field number (the
+    * errorOnUnknownFields policy throws IllegalCellException naming it);
+    * residue 5 appends a field-1 tag with a dangling varint continuation
+    * byte (the wire reader throws mid-varint, wrapped as
+    * IllegalRowException whose echo is trim250-bounded — the repeated name
+    * is 360 chars, so the truncation branch is exercised on every bad row)
+    * — and decoded through the descriptor-driven path. The aggregate pins
+    * counts per kind, the exact exception-message char sums (trim250 echo
+    * arithmetic recomputed by DuckDB), and the decoded key/name sums of the
+    * surviving rows, so a drifting message format, a policy that stops
+    * throwing, or a decoder that mis-reads healthy rows all fail the hash.
+    *
+    * Scale shape: one narrow mapPartitions over customer (descriptor parsed
+    * once per partition, writer reused per row), no shuffle until the
+    * 3-group aggregate.
+    */
+  def serdeErrors(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val descSet = Protobuf.buildFileDescriptorSet("graftq", "Cust",
+      Seq(("c_custkey", 1, Descriptors.TInt64), ("c_name", 2, Descriptors.TString)))
+    val per = load(spark, sfDir, "customer")
+      .select(col("c_custkey").cast("long"), col("c_name"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val reg = Descriptors.parseFileDescriptorSet(descSet)
+        val desc = Descriptors.find(reg, "graftq.Cust").get
+        val w = new graft.codec.ByteWriter()
+        it.map { case (key, name) =>
+          w.clear()
+          Protobuf.encodeVarintField(w, 1, key)
+          Protobuf.encodeStringField(w, 2, name)
+          key % 7 match {
+            case 3 => Protobuf.encodeVarintField(w, 9, 1L) // undeclared field
+            case 5 => w.writeByte((1 << 3) | 0); w.writeByte(0x80) // dangling varint
+            case _ =>
+          }
+          try {
+            val node = Protobuf.decodeWithDescriptor(
+              w.result(), desc, reg, errorOnUnknownFields = true)
+            ("ok", 0L, node.get("c_custkey").asLong(),
+              node.get("c_name").asText().length.toLong)
+          } catch {
+            case e: SerdeErrors.IllegalCellException =>
+              ("illegal_cell", e.getMessage.length.toLong, 0L, 0L)
+            case scala.util.control.NonFatal(e) =>
+              val wrapped = new SerdeErrors.IllegalRowException(name * 20, e)
+              ("illegal_row", wrapped.getMessage.length.toLong, 0L, 0L)
+          }
+        }
+      }
+      .toDF("error_kind", "msg_len", "key", "name_len")
+    per.groupBy("error_kind").agg(
+        count(lit(1)).as("n"),
+        sum(col("msg_len")).as("msg_chars"),
+        sum(col("key")).as("key_sum"),
+        sum(col("name_len")).as("name_chars"))
+      .orderBy("error_kind")
+  }
 }

@@ -40,6 +40,37 @@ object OracleSql {
       |  CAST(sum(len(text)) AS BIGINT) AS total_text_len
       |FROM documents GROUP BY lang""".stripMargin
 
+  /** q_serde_errors: mirrors FormatQueries.serdeErrors — the fault pattern
+    * is c_custkey % 7 (residue 3 → IllegalCellException from the
+    * unknown-field policy, residue 5 → wire-truncation wrapped as
+    * IllegalRowException), and the message-length arithmetic re-derives the
+    * EXACT exception strings: the cell message is a constant (spelled out
+    * as a SQL literal so a format drift on either side fails the hash), the
+    * row message is "illegal row with data [" + trim250(c_name * 20) + "]"
+    * where trim250 caps the echo at 250 chars + one '…' (c_name is 18 ASCII
+    * chars so 360 → 251; the CASE keeps the SQL honest if name lengths ever
+    * change). ORACLE-COUPLED to SerdeErrors.trim250 and both exception
+    * message formats — prototype: tools/oracle_proto10.py.
+    */
+  val serdeErrors: String =
+    """WITH base AS (
+      |  SELECT c_custkey, c_name,
+      |    CASE WHEN c_custkey % 7 = 3 THEN 'illegal_cell'
+      |         WHEN c_custkey % 7 = 5 THEN 'illegal_row'
+      |         ELSE 'ok' END AS error_kind
+      |  FROM customer)
+      |SELECT error_kind,
+      |  CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(CASE error_kind
+      |    WHEN 'illegal_cell' THEN length('illegal cell on field ''f9'' with data [unknown field number 9 in message graftq.Cust]')
+      |    WHEN 'illegal_row' THEN length('illegal row with data [') + (CASE WHEN length(c_name) * 20 <= 250 THEN length(c_name) * 20 ELSE 251 END) + 1
+      |    ELSE 0 END) AS BIGINT) AS msg_chars,
+      |  CAST(sum(CASE WHEN error_kind = 'ok' THEN c_custkey ELSE 0 END) AS BIGINT) AS key_sum,
+      |  CAST(sum(CASE WHEN error_kind = 'ok' THEN length(c_name) ELSE 0 END) AS BIGINT) AS name_chars
+      |FROM base
+      |GROUP BY error_kind
+      |ORDER BY error_kind""".stripMargin
+
   /** q_infer_schema: re-derives the inference lattice outcome per column
     * from the data itself (InferSchema.classify semantics: integer regex +
     * int32 range → int, wider integer → bigint, numeric → double, else
