@@ -5,7 +5,7 @@ import graft.model.{ColStats, EncodedBlock}
 import graft.plan.CodecSelector
 import graft.stats.BlockStats
 import org.apache.spark.TaskContext
-import org.apache.spark.sql.{DataFrame, Dataset, Encoders, Row}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
 
 /** The encode pass: explicit range partitioning on the sort keys, salted-key
@@ -124,18 +124,33 @@ object Encoder {
     encodePartitioned(partitioned, cols, cfg)
   }
 
-  /** Encode an already-partitioned/sorted projection (column order == cols). */
+  /** Encode an already-partitioned/sorted projection (column order == cols).
+    *
+    * Drains the plan as InternalRows (queryExecution.toRdd) instead of
+    * Dataset.mapPartitions: the external-Row deserializer layer
+    * (DeserializeToObject + GenericRow per row) is pure overhead for a
+    * loop that only reads binary cells — InternalRow.getBinary copies the
+    * exact same bytes without materializing a Row object per row
+    * (EncodeBreakdown's `rowconv` delta measures this layer). Row order,
+    * partition ids and block bytes are unchanged — the physical plan below
+    * the drain is identical, so resume fingerprints stay valid. A side
+    * benefit: the block RDD is a single shared lineage, so a plan that
+    * consumes the blocks twice (e.g. decodeWhereEq's key pass + hit join)
+    * reuses one co-location shuffle instead of re-planning it per subtree.
+    */
   def encodePartitioned(
       partitioned: DataFrame,
       cols: Seq[String],
       cfg: EncodeConfig,
       skipParts: Set[Int] = Set.empty): Dataset[EncodedBlock] = {
     val colNames = cols.toArray
-    partitioned.mapPartitions { rows =>
+    val spark = partitioned.sparkSession
+    val rdd = partitioned.queryExecution.toRdd.mapPartitions { rows =>
       val partId = TaskContext.getPartitionId()
       if (skipParts.contains(partId)) Iterator.empty
       else new PartitionEncoder(rows, colNames, partId, cfg)
-    }(Encoders.product[EncodedBlock])
+    }
+    spark.createDataset(rdd)(Encoders.product[EncodedBlock])
   }
 
   /** Streaming block encoder over one sorted partition. Holds at most one
@@ -143,7 +158,7 @@ object Encoder {
     * buffered Flux pipelines, avro/AbstractAvroConverter.java:185-208).
     */
   private final class PartitionEncoder(
-      rows: Iterator[Row],
+      rows: Iterator[org.apache.spark.sql.catalyst.InternalRow],
       colNames: Array[String],
       partId: Int,
       cfg: EncodeConfig)
@@ -173,7 +188,9 @@ object Encoder {
         val r = rows.next()
         var c = 0
         while (c < nCols) {
-          val b = if (r.isNullAt(c)) null else r.getAs[Array[Byte]](c)
+          // getBinary copies out of the (reused) UnsafeRow buffer — safe to
+          // retain across rows
+          val b = if (r.isNullAt(c)) null else r.getBinary(c)
           bufs(c) += b
           if (b != null) bytes += b.length
           c += 1
@@ -215,7 +232,9 @@ object Encoder {
       cols: Seq[String],
       sampleRows: Int = 8192): Dataset[ColStats] = {
     val colNames = cols.toArray
-    partitioned.mapPartitions { rows =>
+    val spark = partitioned.sparkSession
+    // InternalRow drain, same rationale as encodePartitioned
+    val rdd = partitioned.queryExecution.toRdd.mapPartitions { rows =>
       val partId = TaskContext.getPartitionId()
       val bufs = Array.fill(colNames.length)(
         scala.collection.mutable.ArrayBuffer.empty[Array[Byte]])
@@ -224,7 +243,7 @@ object Encoder {
         val r = rows.next()
         var c = 0
         while (c < colNames.length) {
-          bufs(c) += (if (r.isNullAt(c)) null else r.getAs[Array[Byte]](c))
+          bufs(c) += (if (r.isNullAt(c)) null else r.getBinary(c))
           c += 1
         }
         n += 1
@@ -232,6 +251,7 @@ object Encoder {
       colNames.indices.iterator.map { c =>
         BlockStats.compute(colNames(c), partId, bufs(c).toArray)
       }
-    }(Encoders.product[ColStats])
+    }
+    spark.createDataset(rdd)(Encoders.product[ColStats])
   }
 }

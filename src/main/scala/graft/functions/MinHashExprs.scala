@@ -42,6 +42,19 @@ object MinHashImpl {
   def hashSeed(s: UTF8String, seed: Long): Long =
     fmix64(poly(s.toString) ^ fmix64(seed * Golden))
 
+  /** the seed-independent polynomial term of hashSeed — computing it once
+    * per string and mixing per seed gives bit-identical hashSeed values
+    * while scanning the string once instead of once per seed
+    */
+  def polyU8(s: UTF8String): Long = poly(s.toString)
+
+  /** seedMix must be fmix64(seed * Golden); then mixPoly(polyU8(s), seedMix)
+    * == hashSeed(s, seed) by definition
+    */
+  def seedMix(seed: Long): Long = fmix64(seed * Golden)
+
+  def mixPoly(p: Long, seedMix: Long): Long = fmix64(p ^ seedMix)
+
   /** order-dependent fold hash of a long array: fmix64(fold(31·acc + v)) */
   def hashLongArray(vs: org.apache.spark.sql.catalyst.util.ArrayData): Long = {
     var h = PolySeed
@@ -135,6 +148,56 @@ case class ArrayHash64(child: Expression) extends UnaryExpression {
   override def prettyName: String = "arrayhash64"
 }
 
+/** polyhash64(str): the seed-independent polynomial term of seedhash64 —
+  * split out so a k-seed MinHash computes the string scan ONCE and mixes k
+  * times (mixhash64 below). seedhash64(s, k) ==
+  * mixhash64(polyhash64(s), fmix64(k * Golden)) bit-for-bit by definition.
+  */
+case class PolyHash64(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"polyhash64 needs a string column, got ${child.dataType.catalogString}")
+
+  override def nullSafeEval(v: Any): Any =
+    MinHashImpl.polyU8(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val impl = MinHashImpl.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $impl.polyU8($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PolyHash64 =
+    copy(child = newChild)
+
+  override def prettyName: String = "polyhash64"
+}
+
+/** mixhash64(poly, seedMix): fmix64(poly ^ seedMix) — the per-seed tail of
+  * seedhash64 over a precomputed polyhash64 (seedMix = fmix64(seed*Golden),
+  * a plan-time constant).
+  */
+case class MixHash64(left: Expression, right: Expression) extends BinaryExpression
+    with org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes {
+  override def dataType: DataType = LongType
+  override def inputTypes: Seq[DataType] = Seq(LongType, LongType)
+
+  override def nullSafeEval(p: Any, m: Any): Any =
+    MinHashImpl.mixPoly(p.asInstanceOf[Long], m.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val impl = MinHashImpl.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    nullSafeCodeGen(ctx, ev, (a, b) => s"${ev.value} = $impl.mixPoly($a, $b);")
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): MixHash64 =
+    copy(left = l, right = r)
+
+  override def prettyName: String = "mixhash64"
+}
+
 object minhashFunctions {
   private def wrap(e: Expression): Column =
     org.apache.spark.sql.GraftBridge.column(e)
@@ -144,4 +207,7 @@ object minhashFunctions {
   def seedhash64(s: Column, seed: Column): Column =
     wrap(SeedHash64(expr(s), expr(seed)))
   def arrayhash64(a: Column): Column = wrap(ArrayHash64(expr(a)))
+  def polyhash64(s: Column): Column = wrap(PolyHash64(expr(s)))
+  def mixhash64(p: Column, seedMix: Column): Column =
+    wrap(MixHash64(expr(p), expr(seedMix)))
 }

@@ -141,6 +141,68 @@ case class RollingMinHash64(child: Expression, window: Int)
   override def prettyName: String = "rolling_minhash64"
 }
 
+/** per-doc CODEPOINT-trigram histogram (the lang-id feature extractor) —
+  * one HashMap per document, emitted as array<struct<tri,cnt>>: the shuffle
+  * carries one row per DISTINCT trigram per doc, not one per position, and
+  * the whole projection stays inside WholeStageCodegen (the prior typed
+  * Dataset.flatMap paid an encoder ser/de round-trip per output row).
+  * Trigram extraction is identical to the previous flatMap (codepoint
+  * windows — the DuckDB oracle slices text[i:i+2] by codepoint).
+  */
+object TrigramImpl {
+  def counts(s: UTF8String): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val cps = s.toString.codePoints().toArray
+    if (cps.length < 3)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any])
+    val m = new java.util.HashMap[String, Long]()
+    var i = 0
+    val last = cps.length - 3
+    while (i <= last) {
+      m.merge(new String(cps, i, 3), 1L, (a, b) => a + b)
+      i += 1
+    }
+    val out = new Array[Any](m.size())
+    val it = m.entrySet().iterator()
+    var j = 0
+    while (it.hasNext) {
+      val e = it.next()
+      out(j) = org.apache.spark.sql.catalyst.InternalRow(
+        UTF8String.fromString(e.getKey), e.getValue)
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
+case class TrigramCounts(child: Expression) extends UnaryExpression {
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("tri", StringType, nullable = false),
+        org.apache.spark.sql.types.StructField("cnt",
+          org.apache.spark.sql.types.LongType, nullable = false))),
+      containsNull = false)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"trigram_counts needs a string column, got ${child.dataType.catalogString}")
+
+  override def nullSafeEval(v: Any): Any =
+    TrigramImpl.counts(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val impl = TrigramImpl.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $impl.counts($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): TrigramCounts =
+    copy(child = newChild)
+
+  override def prettyName: String = "trigram_counts"
+}
+
 object textFunctions {
   private def wrap(e: Expression): Column =
     org.apache.spark.sql.GraftBridge.column(e)
@@ -152,6 +214,7 @@ object textFunctions {
   def htmlToMd(c: Column): Column = wrap(HtmlToMd(expr(c)))
   def rollingMinHash64(c: Column, window: Int): Column =
     wrap(RollingMinHash64(expr(c), window))
+  def trigramCounts(c: Column): Column = wrap(TrigramCounts(expr(c)))
 
   /** register md_to_text / md_to_html / html_to_md for SQL use */
   def registerAll(spark: org.apache.spark.sql.SparkSession): Unit = {

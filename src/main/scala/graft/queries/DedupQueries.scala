@@ -27,17 +27,17 @@ object DedupQueries {
       countDistinct(sha2(col("text"), 256)).as("distinct_texts"),
       (count(lit(1)) - countDistinct(sha2(col("text"), 256))).as("dup_rows"))
 
-  /** distinct word-3-shingles per doc (short docs fall back to whole text) */
-  private def shingles(docs: DataFrame): DataFrame =
-    docs
-      .select(col("doc_id"), split(col("text"), " ").as("toks"))
-      .select(col("doc_id"),
-        explode(
-          when(size(col("toks")) >= 3,
-            transform(sequence(lit(0), size(col("toks")) - 3),
-              i => concat_ws(" ", slice(col("toks"), i + 1, lit(3)))))
-            .otherwise(array(concat_ws(" ", col("toks"))))).as("shingle"))
-      .distinct()
+  /** per-row word-3-shingle array (short docs fall back to whole text) —
+    * the shared shingling expression; ngramJaccard/minhashSignatures both
+    * derive from it so the two pipelines stay definitionally identical
+    */
+  private def shingleArr: org.apache.spark.sql.Column = {
+    val toks = split(col("text"), " ")
+    when(size(toks) >= 3,
+      transform(sequence(lit(0), size(toks) - 3),
+        i => concat_ws(" ", slice(toks, i + 1, lit(3)))))
+      .otherwise(array(concat_ws(" ", toks)))
+  }
 
   /** per-doc MinHash signature (NumHashes seeded mins) as array. The hash
     * is graft's native seedhash64 (polynomial-31 + murmur fmix64) rather
@@ -45,16 +45,26 @@ object DedupQueries {
     * the DuckDB oracle — seedhash64 is exactly expressible in HUGEINT
     * mod-2^64 SQL (OracleSql.minhashLsh); xxhash64's striped rotations are
     * not. Same codegen'd-expression performance class.
+    *
+    * Computed NARROWLY: min over a doc's shingle multiset equals min over
+    * its distinct set, so the signature is array_min over the in-row
+    * shingle array — the old explode + groupBy(doc_id) shuffled every
+    * shingle string and funneled them back per doc; this shape shuffles
+    * nothing (guide §2.4). The seed-independent polynomial term is hashed
+    * once per shingle (polyhash64) and mixed per seed (mixhash64 with the
+    * plan-constant fmix64(seed*Golden)) — bit-identical to seedhash64 by
+    * definition, one string scan instead of NumHashes.
     */
   private def minhashSignatures(docs: DataFrame): DataFrame = {
-    import graft.functions.minhashFunctions.seedhash64
-    val mins = (0 until NumHashes).map(k =>
-      min(seedhash64(col("shingle"), lit(k.toLong))).as(s"h$k"))
-    shingles(docs)
-      .groupBy(col("doc_id"))
-      .agg(mins.head, mins.tail: _*)
+    import graft.functions.minhashFunctions.{mixhash64, polyhash64}
+    import graft.functions.MinHashImpl
+    docs
       .select(col("doc_id"),
-        array((0 until NumHashes).map(k => col(s"h$k")): _*).as("mh"))
+        transform(shingleArr, s => polyhash64(s)).as("polys"))
+      .select(col("doc_id"),
+        array((0 until NumHashes).map(k =>
+          array_min(transform(col("polys"),
+            p => mixhash64(p, lit(MinHashImpl.seedMix(k.toLong)))))): _*).as("mh"))
   }
 
   /** MinHash + LSH banding: candidate pairs with signature match counts.
@@ -77,9 +87,15 @@ object DedupQueries {
       .where(col("count") <= BucketCap && col("count") >= 2)
       .drop("count")
     val inBuckets = bands.join(okBuckets, Seq("band", "band_hash"))
-    val a = inBuckets.select(col("band"), col("band_hash"), col("doc_id").as("doc_a"))
-    val b = inBuckets.select(col("band"), col("band_hash"), col("doc_id").as("doc_b"))
-    val candidates = a.join(b, Seq("band", "band_hash"))
+    // pair generation: ONE groupBy per bucket (reuses the join's
+    // (band, band_hash) partitioning — no new exchange) + in-row pair
+    // expansion, instead of the old two-sided self-join that shuffled
+    // inBuckets twice more. collect_list is safe here BECAUSE it runs after
+    // the BucketCap filter: every group holds <= BucketCap ids (guide §2.4).
+    val candidates = inBuckets.groupBy("band", "band_hash")
+      .agg(collect_list(col("doc_id")).as("ids"))
+      .select(explode(col("ids")).as("doc_a"), col("ids"))
+      .select(col("doc_a"), explode(col("ids")).as("doc_b"))
       .where(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b").distinct()
     candidates
@@ -116,8 +132,14 @@ object DedupQueries {
   /** n-gram Jaccard via shingle-join (never all-pairs), capped as above */
   def ngramJaccard(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = load(spark, sfDir, "documents")
-    val sh = shingles(docs).cache()
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    // per-doc distinct shingle ARRAYS, cached once: sizes come straight off
+    // the array (narrow — the old groupBy(doc_id) count shuffled every
+    // (doc, shingle) pair a second time), and the exploded view feeds the
+    // doc-frequency pass (guide §2.4)
+    val perDoc = docs
+      .select(col("doc_id"), array_distinct(shingleArr).as("sharr")).cache()
+    val sh = perDoc.select(col("doc_id"), explode(col("sharr")).as("shingle"))
+    val sizes = perDoc.select(col("doc_id"), size(col("sharr")).cast("long").as("sz"))
     // the HEAVY set is small relative to `sh` but its bound is
     // totalShingles/cap — ~1% of all (doc,shingle) rows, which at 100 TB is
     // tens of millions of strings: too big to FORCE into a broadcast. No
@@ -127,8 +149,15 @@ object DedupQueries {
       .where(col("df") > ShingleDocFreqCap)
       .select("shingle")
     val pruned = sh.join(heavy, Seq("shingle"), "left_anti")
-    val shared = pruned.select(col("doc_id").as("doc_a"), col("shingle"))
-      .join(pruned.select(col("doc_id").as("doc_b"), col("shingle")), Seq("shingle"))
+    // pair generation: group each surviving shingle's doc list and expand
+    // pairs IN-ROW — the old two-sided self-join shuffled pruned twice by
+    // shingle; one groupBy moves each (doc, shingle) row once. collect_list
+    // is bounded by construction: the anti-join above removed every shingle
+    // with doc-frequency > ShingleDocFreqCap, so no group exceeds the cap.
+    val shared = pruned.groupBy(col("shingle"))
+      .agg(collect_list(col("doc_id")).as("ids"))
+      .select(explode(col("ids")).as("doc_a"), col("ids"))
+      .select(col("doc_a"), explode(col("ids")).as("doc_b"))
       .where(col("doc_a") < col("doc_b"))
       .groupBy("doc_a", "doc_b")
       .agg(count(lit(1)).as("shared"))

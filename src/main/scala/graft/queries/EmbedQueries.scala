@@ -86,8 +86,10 @@ object EmbedQueries {
       .orderBy("query_id", "rnk")
   }
 
-  /** seeded deterministic hyperplane weight for (plane, dim) */
-  private[queries] def planeWeight(p: Int, j: Int): Double = {
+  /** seeded deterministic hyperplane weight for (plane, dim) — read by the
+    * BandSignatures64 expression (graft.functions.EmbedExprs)
+    */
+  private[graft] def planeWeight(p: Int, j: Int): Double = {
     var z = p.toLong * 131071L + j + 0x9e3779b97f4a7c15L
     z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
     z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
@@ -98,35 +100,16 @@ object EmbedQueries {
 
   /** (vec_id, band, sig) — LshBands independent sign-random-projection
     * signatures per vector; band b uses planes [b*bits, (b+1)*bits).
+    * Computed by the codegen'd BandSignatures64 expression (identical
+    * fixed-order arithmetic, NaN-proof sign test — see
+    * graft.functions.EmbedExprs); the prior typed flatMap paid an encoder
+    * ser/de round-trip (Seq[Float] boxing) per vector.
     */
-  private def bandSignatures(df: DataFrame, bits: Int): DataFrame = {
-    import df.sparkSession.implicits._
-    val dim = 64
-    val planes =
-      Array.tabulate(LshBands * bits, dim)((p, j) => planeWeight(p, j))
-    df.select(col("vec_id"), col("embedding"))
-      .as[(Long, Seq[Float])]
-      .flatMap { case (id, emb) =>
-        (0 until LshBands).iterator.map { b =>
-          var sig = 0
-          var p = 0
-          while (p < bits) {
-            var dot = 0.0
-            var j = 0
-            val pl = planes(b * bits + p)
-            while (j < dim && j < emb.length) { dot += pl(j) * emb(j); j += 1 }
-            // NaN-proof sign test: embeddings are finite by the generator's
-            // contract, but if a NaN ever slipped in, Java's `NaN >= 0` is
-            // false while DuckDB's replay treats NaN as greatest (true) —
-            // match the oracle rather than diverge silently
-            if (java.lang.Double.isNaN(dot) || dot >= 0) sig |= (1 << p)
-            p += 1
-          }
-          (id, b, sig)
-        }
-      }
+  private def bandSignatures(df: DataFrame, bits: Int): DataFrame =
+    df.select(col("vec_id"),
+      posexplode(graft.functions.embedFunctions.bandSigs64(
+        col("embedding"), LshBands, bits)))
       .toDF("vec_id", "band", "sig")
-  }
 
   /** Multi-band LSH ANN: candidates = union over bands of same-bucket
     * pairs (bucket-capped), then exact cosine re-rank. Bits per band scale
@@ -143,11 +126,15 @@ object EmbedQueries {
       .where(col("bsz") <= LshBucketCap && col("bsz") >= 2)
       .select("band", "sig")
     val inBuckets = bands.join(okBuckets, Seq("band", "sig"))
-    val qb = inBuckets.where(col("vec_id") < NumQueries)
-      .select(col("band"), col("sig"), col("vec_id").as("query_id"))
-    val candidates = qb.join(
-        inBuckets.select(col("band"), col("sig"), col("vec_id").as("neighbor_id")),
-        Seq("band", "sig"))
+    // (query, member) pairs per bucket via ONE groupBy (reuses the join's
+    // (band, sig) partitioning) + in-row expansion over the bucket's query
+    // subset — the old query-side self-join shuffled inBuckets twice more.
+    // collect_list is bounded by the LshBucketCap filter above (guide §2.4).
+    val candidates = inBuckets.groupBy("band", "sig")
+      .agg(collect_list(col("vec_id")).as("ids"))
+      .select(filter(col("ids"), x => x < NumQueries).as("qids"), col("ids"))
+      .select(explode(col("qids")).as("query_id"), col("ids"))
+      .select(col("query_id"), explode(col("ids")).as("neighbor_id"))
       .where(col("query_id") =!= col("neighbor_id"))
       .select("query_id", "neighbor_id")
       .distinct()
@@ -307,10 +294,17 @@ object EmbedQueries {
       .where(col("bsz") <= LshBucketCap && col("bsz") >= 2)
       .select("band", "sig")
     val inBuckets = bands.join(okBuckets, Seq("band", "sig"))
-    inBuckets.as("x").join(
-        inBuckets.as("y"), col("x.band") === col("y.band") &&
-          col("x.sig") === col("y.sig") && col("x.vec_id") < col("y.vec_id"))
-      .select(col("x.vec_id").as("id_a"), col("y.vec_id").as("id_b"))
+    // pair generation: ONE groupBy per bucket (reuses the join's (band, sig)
+    // partitioning — no new exchange) + in-row pair expansion, instead of
+    // the old two-sided self-join that shuffled inBuckets twice more.
+    // collect_list is bounded by construction: every group passed the
+    // LshBucketCap filter above (guide §2.4).
+    inBuckets.groupBy("band", "sig")
+      .agg(collect_list(col("vec_id")).as("ids"))
+      .select(explode(col("ids")).as("id_a"), col("ids"))
+      .select(col("id_a"), explode(col("ids")).as("id_b"))
+      .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
       .distinct()
   }
 
@@ -435,7 +429,15 @@ object EmbedQueries {
       require(iter <= 64, "near-dup label propagation did not converge")
       val prop = edges.join(labels, col("src") === col("v"))
         .select(col("dst").as("v"), col("lbl"))
+      // repartition to `parts` BEFORE the aggregate: groupBy alone would
+      // land on spark.sql.shuffle.partitions, and the next round's join
+      // against `edges` (partitioned to `parts` by src) would then have to
+      // re-exchange BOTH sides every round. HashPartitioning(v, parts)
+      // satisfies the aggregate's distribution (no extra exchange) and
+      // matches the join's layout — one exchange per round instead of three
+      // (guide §2.4).
       val next = labels.select(col("v"), col("lbl")).union(prop)
+        .repartition(parts, col("v"))
         .groupBy("v").agg(min(col("lbl")).as("lbl"))
         .localCheckpoint(eager = false)
       val s = labelSum(next)

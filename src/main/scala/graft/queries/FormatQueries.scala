@@ -157,21 +157,19 @@ object FormatQueries {
     * that from the original table, so a drifting renderer fails the hash.
     */
   def markdownStats(spark: SparkSession, sfDir: String): DataFrame = {
-    import spark.implicits._
+    import graft.functions.textFunctions.{htmlToMd, mdToHtml, mdToText}
     val docs = load(spark, sfDir, "documents")
-    val md = docs.select(col("lang"),
-      concat(lit("# "), col("lang"), lit("\n\n"), col("text")).as("md"))
-    Markdown.mdToTextCol(md, "md", "txt")
-      .select(col("lang"), col("txt"), col("md"))
-      .as[(String, String, String)]
-      .map { case (lang, txt, m) =>
-        val roundTripped = Markdown.toText(Markdown.htmlToMarkdown(Markdown.toHtml(m)))
-        // DuckDB len() counts codepoints; String.length counts UTF-16
-        // units — they diverge on supplementary chars
-        def cp(s: String): Long = s.codePointCount(0, s.length).toLong
-        (lang, cp(txt), cp(roundTripped))
-      }
-      .toDF("lang", "txt_len", "rt_len")
+    val md = concat(lit("# "), col("lang"), lit("\n\n"), col("text"))
+    // same render/strip kernels as before (MdToText/MdToHtml/HtmlToMd call
+    // Markdown.toText/toHtml/htmlToMarkdown), but as a pure codegen'd
+    // expression chain — the old typed Dataset.map paid an encoder ser/de
+    // round-trip per doc. Spark's length() counts codepoints
+    // (UTF8String.numChars), exactly the old codePointCount (and DuckDB
+    // len()) — identical on every input.
+    docs
+      .select(col("lang"),
+        length(mdToText(md)).cast("long").as("txt_len"),
+        length(mdToText(htmlToMd(mdToHtml(md)))).cast("long").as("rt_len"))
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("docs"),
         sum(col("txt_len")).cast("long").as("total_txt_len"),

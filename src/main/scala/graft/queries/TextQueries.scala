@@ -60,33 +60,20 @@ object TextQueries {
     langIdImpl(load(spark, sfDir, "documents"))
 
   private def langIdImpl(docs: DataFrame): DataFrame = {
-    import docs.sparkSession.implicits._
-    // per-doc trigram COUNTS (a HashMap per doc inside the flatMap): the
-    // shuffle carries one row per distinct trigram per doc, not one row per
-    // trigram POSITION — a 10 KB doc is ~hundreds of rows, not ~10K
+    // per-doc trigram COUNTS (one HashMap per doc inside the codegen'd
+    // TrigramCounts expression): the shuffle carries one row per distinct
+    // trigram per doc, not one row per trigram POSITION — and the
+    // projection stays inside WholeStageCodegen (the prior typed flatMap
+    // paid an encoder ser/de round-trip per output row). Extraction is
+    // CODEPOINT-windowed exactly like before: the oracle slices
+    // `text[i:i+2]` by codepoint.
     val tri = docs
-      .select(col("lang"), col("doc_id"), col("text"))
-      .as[(String, Long, String)]
-      .flatMap { case (lang, id, text) =>
-        // CODEPOINT trigrams: the oracle slices `text[i:i+2]` by codepoint,
-        // so a supplementary char is one trigram element, not two units
-        val cps = text.codePoints().toArray
-        if (cps.length < 3) Iterator.empty
-        else {
-          val m = new java.util.HashMap[String, Long]()
-          var i = 0
-          val last = cps.length - 3
-          while (i <= last) {
-            m.merge(new String(cps, i, 3), 1L, (a, b) => a + b)
-            i += 1
-          }
-          scala.jdk.CollectionConverters.IteratorHasAsScala(m.entrySet().iterator())
-            .asScala.map(e => (lang, id, e.getKey, e.getValue))
-        }
-      }
-      .toDF("lang", "doc_id", "tri", "cnt")
+      .select(col("lang"), col("doc_id"),
+        explode(graft.functions.textFunctions.trigramCounts(col("text"))).as("tc"))
+      .select(col("lang"), col("doc_id"),
+        col("tc.tri").as("tri"), col("tc.cnt").as("cnt"))
       // consumed twice (profile build + scoring join): cache so the per-doc
-      // trigram flatMap — the expensive part — runs once, not twice
+      // trigram pass — the expensive part — runs once, not twice
       .cache()
     // two-phase top-k profile build: a single window partitioned by lang
     // would funnel every distinct (lang, trigram) row of a language through
@@ -110,14 +97,17 @@ object TextQueries {
           .orderBy(col("c").desc, col("tri"))))
       .where(col("rnk") <= 50)
       .select(col("lang").as("profile_lang"), col("tri"))
-    val scored = tri.select(col("doc_id"), col("lang"), col("tri"), col("cnt"))
+    // per-doc argmax profile via min(struct(-c, profile_lang)) — the same
+    // winner as the old row_number window (ORDER BY c DESC, profile_lang:
+    // lang is functionally determined by doc_id so the extra group key
+    // changes nothing), but as a partial-aggregating hash agg instead of a
+    // full sort window over every (doc, profile) score (guide §2.3/§2.4)
+    val best = tri.select(col("doc_id"), col("lang"), col("tri"), col("cnt"))
       .join(broadcast(profiles), Seq("tri"))
       .groupBy("doc_id", "lang", "profile_lang").agg(sum(col("cnt")).as("c"))
-      .withColumn("rnk", row_number().over(
-        org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
-          .orderBy(col("c").desc, col("profile_lang"))))
-      .where(col("rnk") === 1)
-    scored.groupBy(col("lang"), col("profile_lang").as("guessed"))
+      .groupBy("doc_id", "lang")
+      .agg(min(struct((-col("c")).as("nc"), col("profile_lang").as("pl"))).as("w"))
+    best.groupBy(col("lang"), col("w.pl").as("guessed"))
       .agg(count(lit(1)).as("docs"))
       .orderBy("lang", "guessed")
   }
