@@ -34,6 +34,24 @@ object BenchExtra {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // optional per-stage attribution (SPARK_GRAFT_BX_STAGES=1): prints each
+    // completed stage's wall, task count and shuffle bytes under the query
+    // label — the guide §1 empirical loop without the UI
+    if (sys.env.get("SPARK_GRAFT_BX_STAGES").contains("1"))
+      spark.sparkContext.addSparkListener(
+        new org.apache.spark.scheduler.SparkListener {
+          override def onStageCompleted(
+              sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+            val si = sc.stageInfo
+            val wall = for {
+              s <- si.submissionTime; e <- si.completionTime
+            } yield (e - s) / 1e3
+            val m = si.taskMetrics
+            println(f"[bx-stage] ${si.stageId}%4d ${wall.getOrElse(-1.0)}%7.3f s " +
+              f"tasks=${si.numTasks}%3d shR=${m.shuffleReadMetrics.totalBytesRead}%9d " +
+              f"shW=${m.shuffleWriteMetrics.bytesWritten}%9d  ${si.name.takeWhile(_ != '\n').take(90)}")
+          }
+        })
     val times = scala.collection.mutable.Map.empty[String, List[Double]]
     for (rep <- 1 to reps; name <- names) {
       spark.catalog.clearCache()

@@ -36,66 +36,129 @@ object Decoder {
 
   def decode(blocks: Dataset[EncodedBlock], cols: Seq[String],
       onBad: OnBadBlocks = ErrorOnBadBlocks): DataFrame = {
+    import org.apache.spark.sql.functions.col
     val colNames = cols.toArray
-    val binSchema = StructType(colNames.map(c => StructField(c, BinaryType, nullable = true)))
-    val keyEnc = Encoders.tuple(Encoders.scalaInt, Encoders.scalaInt)
+    val strSchema = StructType(colNames.map(c =>
+      StructField(c, org.apache.spark.sql.types.StringType, nullable = true)))
     // column pruning: blocks of unrequested columns never enter the shuffle
     // (a pushable filter on the blocks scan — decode a 1-column projection
     // of a 5-column table and only 1/5th of the bytes move)
-    val wanted = blocks.filter(
-      org.apache.spark.sql.functions.col("colName").isin(colNames.toIndexedSeq: _*))
-    val grouped = wanted.groupByKey(b => (b.partId, b.blockIdx))(keyEnc)
-    val binary = grouped.flatMapGroups { (key, it) =>
-      val byCol = scala.collection.mutable.HashMap.empty[String, EncodedBlock]
-      it.foreach(b => byCol(b.colName) = b)
-      val decodedOrErr: Either[Throwable, Array[Array[Array[Byte]]]] =
-        try Right {
-          val d = colNames.map(c => BlockCodec.decodeBlock(byCol.getOrElse(c,
-            throw new IllegalStateException(
-              s"missing column block '$c' (have ${byCol.keys.mkString(",")})"))))
-          // a group whose columns decode to DIFFERENT row counts is corrupt:
-          // zipping by the first column's length would silently drop rows
-          // (or throw lazily inside the emitted iterator, bypassing the
-          // onBad policy) — detect it here so it routes through the policy
-          var c = 1
-          while (c < d.length) {
-            if (d(c).length != d(0).length)
-              throw new IllegalStateException(
-                s"column '${colNames(c)}' decoded ${d(c).length} rows but " +
-                  s"'${colNames(0)}' decoded ${d(0).length} — corrupt group")
-            c += 1
+    val wanted = blocks.filter(col("colName").isin(colNames.toIndexedSeq: _*))
+    // Group co-location via an explicit repartition + within-partition sort
+    // — the exact physical shape groupByKey planned (Exchange + Sort +
+    // streaming group cursor), drained as InternalRows: the old
+    // flatMapGroups emitted an external Row per decoded row and paid the
+    // RowEncoder (ValidateExternalType + UnsafeRow write) plus a
+    // binary→string cast projection on every cell; this path wraps the
+    // decoded bytes as UTF8String directly (no copy, no validation layer).
+    val spark = blocks.sparkSession
+    // canonical column order + types BEFORE the positional InternalRow
+    // reads below: a block table read back from a partitioned store has
+    // partId moved to the END of its file schema (partitionBy column), and
+    // the typed Dataset seam only fixes that up at deserialization — which
+    // this drain skips
+    val canonical = wanted.select(
+      col("colName"), col("partId").cast("int"), col("blockIdx").cast("int"),
+      col("codecId").cast("tinyint"), col("wrapId").cast("tinyint"),
+      col("rowCount").cast("int"), col("rawBytes").cast("long"),
+      col("encodedBytes").cast("long"), col("minPrefix"), col("maxPrefix"),
+      col("data"))
+    val sorted = canonical
+      .repartition(col("partId"), col("blockIdx"))
+      .sortWithinPartitions(col("partId"), col("blockIdx"))
+    val rowRdd = sorted.queryExecution.toRdd.mapPartitions { rows =>
+      // streaming group cursor: rows arrive sorted by (partId, blockIdx);
+      // hold one group's blocks at a time (same memory shape as the old
+      // MapGroups). Field offsets follow the EncodedBlock product schema.
+      new Iterator[org.apache.spark.sql.catalyst.InternalRow] {
+        private var pending: Iterator[org.apache.spark.sql.catalyst.InternalRow] =
+          Iterator.empty
+        private var nextBlock: EncodedBlock = null
+
+        private def readBlock(): EncodedBlock =
+          if (!rows.hasNext) null
+          else {
+            val r = rows.next()
+            EncodedBlock(
+              r.getUTF8String(0).toString, r.getInt(1), r.getInt(2),
+              r.getByte(3), r.getByte(4), r.getInt(5), r.getLong(6),
+              r.getLong(7),
+              if (r.isNullAt(8)) null else r.getUTF8String(8).toString,
+              if (r.isNullAt(9)) null else r.getUTF8String(9).toString,
+              r.getBinary(10))
           }
-          d
-        }
-        catch { case e: Throwable => Left(e) }
-      decodedOrErr match {
-        case Left(e) =>
-          onBad match {
-            case ErrorOnBadBlocks =>
-              throw new IllegalStateException(
-                s"undecodable block group (partId=${key._1}, blockIdx=${key._2}): ${e.getMessage}", e)
-            case SkipBadBlocks => Iterator.empty
-            case WarnBadBlocks =>
-              System.err.println(
-                s"[graft] skipping undecodable block group (partId=${key._1}, blockIdx=${key._2}): ${e.getMessage}")
-              Iterator.empty
+
+        private def fillGroup(): Unit = {
+          if (nextBlock == null) nextBlock = readBlock()
+          if (nextBlock == null) return
+          val partId = nextBlock.partId
+          val blockIdx = nextBlock.blockIdx
+          val byCol = scala.collection.mutable.HashMap.empty[String, EncodedBlock]
+          while (nextBlock != null && nextBlock.partId == partId &&
+              nextBlock.blockIdx == blockIdx) {
+            byCol(nextBlock.colName) = nextBlock
+            nextBlock = readBlock()
           }
-        case Right(decoded) =>
-          val n = decoded(0).length
-          (0 until n).iterator.map { i =>
-            val vals = new Array[Any](colNames.length)
-            var c = 0
-            while (c < colNames.length) {
-              vals(c) = decoded(c)(i)
-              c += 1
+          val decodedOrErr: Either[Throwable, Array[Array[Array[Byte]]]] =
+            try Right {
+              val d = colNames.map(c => BlockCodec.decodeBlock(byCol.getOrElse(c,
+                throw new IllegalStateException(
+                  s"missing column block '$c' (have ${byCol.keys.mkString(",")})"))))
+              // a group whose columns decode to DIFFERENT row counts is
+              // corrupt: zipping by the first column's length would silently
+              // drop rows — detect it here so it routes through the policy
+              var c = 1
+              while (c < d.length) {
+                if (d(c).length != d(0).length)
+                  throw new IllegalStateException(
+                    s"column '${colNames(c)}' decoded ${d(c).length} rows but " +
+                      s"'${colNames(0)}' decoded ${d(0).length} — corrupt group")
+                c += 1
+              }
+              d
             }
-            Row.fromSeq(scala.collection.immutable.ArraySeq.unsafeWrapArray(vals))
+            catch { case e: Throwable => Left(e) }
+          decodedOrErr match {
+            case Left(e) =>
+              onBad match {
+                case ErrorOnBadBlocks =>
+                  throw new IllegalStateException(
+                    s"undecodable block group (partId=$partId, blockIdx=$blockIdx): ${e.getMessage}", e)
+                case SkipBadBlocks =>
+                case WarnBadBlocks =>
+                  System.err.println(
+                    s"[graft] skipping undecodable block group (partId=$partId, blockIdx=$blockIdx): ${e.getMessage}")
+              }
+            case Right(decoded) =>
+              val n = decoded(0).length
+              pending = (0 until n).iterator.map { i =>
+                val vals = new Array[Any](colNames.length)
+                var c = 0
+                while (c < colNames.length) {
+                  val b = decoded(c)(i)
+                  vals(c) =
+                    if (b == null) null
+                    else org.apache.spark.unsafe.types.UTF8String.fromBytes(b)
+                  c += 1
+                }
+                new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(vals)
+              }
           }
+        }
+
+        override def hasNext: Boolean = {
+          while (!pending.hasNext && (rows.hasNext || nextBlock != null))
+            fillGroup()
+          pending.hasNext
+        }
+
+        override def next(): org.apache.spark.sql.catalyst.InternalRow = {
+          if (!hasNext) throw new NoSuchElementException
+          pending.next()
+        }
       }
-    }(Encoders.row(binSchema))
-    // binary → string cast restores the exact UTF-8 content (codegen'd)
-    binary.select(colNames.map(c => org.apache.spark.sql.functions.col(c)
-      .cast("string").as(c)): _*)
+    }
+    org.apache.spark.sql.GraftBridge.internalCreateDataFrame(spark, rowRdd, strSchema)
   }
 
   /** Late-materialized point lookup over the encoded table:

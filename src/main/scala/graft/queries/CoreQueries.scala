@@ -9,6 +9,24 @@ object Tables {
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
+  /** load + SCALE-ADAPTIVE spread for per-row-compute-heavy pipelines: a
+    * small input arrives as fewer scan splits than cores (the driver's
+    * tables are single parquet files — ONE task would run all the
+    * shingling/hashing), so hash-repartition it to the executor
+    * parallelism; a large input already scans with >= cores splits and the
+    * spread is a NO-OP (no shuffle added at 100 TB). Deterministic hash
+    * partitioning, not round-robin: retried tasks reproduce the same
+    * row→partition mapping (SPARK-38388 class of bugs). Results are
+    * partitioning-independent (aggregates/joins/distinct downstream).
+    */
+  def loadSpread(spark: SparkSession, sfDir: String, name: String,
+      key: String): DataFrame = {
+    val df = load(spark, sfDir, name)
+    val target = spark.sparkContext.defaultParallelism
+    if (df.queryExecution.toRdd.getNumPartitions >= target) df
+    else df.repartition(target, col(key))
+  }
+
   /** table row count memoized per (sfDir, table, JVM): the driver testdata
     * is immutable for the JVM's lifetime and Bench re-runs each query
     * twice, so every un-memoized count() is a redundant job per rep. The

@@ -75,7 +75,8 @@ object DedupQueries {
     */
   def minhashLsh(spark: SparkSession, sfDir: String): DataFrame = {
     import graft.functions.minhashFunctions.arrayhash64
-    val docs = load(spark, sfDir, "documents")
+    // scale-adaptive spread: the signature pass is the per-row-heavy leg
+    val docs = loadSpread(spark, sfDir, "documents", "doc_id")
     val sigs = minhashSignatures(docs).cache()
     val rowsPerBand = NumHashes / NumBands
     val bands = sigs.select(col("doc_id"),
@@ -83,17 +84,15 @@ object DedupQueries {
         transform(sequence(lit(0), lit(NumBands - 1)),
           b => arrayhash64(slice(col("mh"), b * rowsPerBand + 1, lit(rowsPerBand))))))
       .toDF("doc_id", "band", "band_hash")
-    val okBuckets = bands.groupBy("band", "band_hash").count()
-      .where(col("count") <= BucketCap && col("count") >= 2)
-      .drop("count")
-    val inBuckets = bands.join(okBuckets, Seq("band", "band_hash"))
-    // pair generation: ONE groupBy per bucket (reuses the join's
-    // (band, band_hash) partitioning — no new exchange) + in-row pair
-    // expansion, instead of the old two-sided self-join that shuffled
-    // inBuckets twice more. collect_list is safe here BECAUSE it runs after
-    // the BucketCap filter: every group holds <= BucketCap ids (guide §2.4).
-    val candidates = inBuckets.groupBy("band", "band_hash")
-      .agg(collect_list(col("doc_id")).as("ids"))
+    // bucket collect + cap check + pair expansion fused into ONE aggregate:
+    // bounded_collect_long evals to NULL for buckets over BucketCap (the old
+    // count-filter-join two-phase shape cost two extra stages and shipped
+    // every bucket row into the count; the bounded buffer caps memory AND
+    // shuffle at cap+1 longs per bucket per map partition — guide §2.3/§2.4)
+    import graft.functions.boundedCollectFunctions.boundedCollectLong
+    val candidates = bands.groupBy("band", "band_hash")
+      .agg(boundedCollectLong(col("doc_id"), BucketCap).as("ids"))
+      .where(col("ids").isNotNull && size(col("ids")) >= 2)
       .select(explode(col("ids")).as("doc_a"), col("ids"))
       .select(col("doc_a"), explode(col("ids")).as("doc_b"))
       .where(col("doc_a") < col("doc_b"))
@@ -131,41 +130,40 @@ object DedupQueries {
 
   /** n-gram Jaccard via shingle-join (never all-pairs), capped as above */
   def ngramJaccard(spark: SparkSession, sfDir: String): DataFrame = {
-    val docs = load(spark, sfDir, "documents")
-    // per-doc distinct shingle ARRAYS, cached once: sizes come straight off
-    // the array (narrow — the old groupBy(doc_id) count shuffled every
-    // (doc, shingle) pair a second time), and the exploded view feeds the
-    // doc-frequency pass (guide §2.4)
-    val perDoc = docs
-      .select(col("doc_id"), array_distinct(shingleArr).as("sharr")).cache()
-    val sh = perDoc.select(col("doc_id"), explode(col("sharr")).as("shingle"))
-    val sizes = perDoc.select(col("doc_id"), size(col("sharr")).cast("long").as("sz"))
-    // the HEAVY set is small relative to `sh` but its bound is
-    // totalShingles/cap — ~1% of all (doc,shingle) rows, which at 100 TB is
-    // tens of millions of strings: too big to FORCE into a broadcast. No
-    // hint: size-based planning (and AQE at runtime) broadcasts while it
-    // fits and degrades to a shuffled anti-join instead of OOMing.
-    val heavy = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
-      .where(col("df") > ShingleDocFreqCap)
-      .select("shingle")
-    val pruned = sh.join(heavy, Seq("shingle"), "left_anti")
-    // pair generation: group each surviving shingle's doc list and expand
-    // pairs IN-ROW — the old two-sided self-join shuffled pruned twice by
-    // shingle; one groupBy moves each (doc, shingle) row once. collect_list
-    // is bounded by construction: the anti-join above removed every shingle
-    // with doc-frequency > ShingleDocFreqCap, so no group exceeds the cap.
-    val shared = pruned.groupBy(col("shingle"))
-      .agg(collect_list(col("doc_id")).as("ids"))
-      .select(explode(col("ids")).as("doc_a"), col("ids"))
-      .select(col("doc_a"), explode(col("ids")).as("doc_b"))
-      .where(col("doc_a") < col("doc_b"))
-      .groupBy("doc_a", "doc_b")
+    // scale-adaptive spread: the shingling pass is the per-row-heavy leg
+    val docs = loadSpread(spark, sfDir, "documents", "doc_id")
+    // per-doc distinct shingles + set size, computed IN-ROW (the old
+    // explode+distinct+groupBy shape shuffled every (doc, shingle) string
+    // pair twice); sz rides along each shingle row so the pair expansion
+    // below carries it — no sizes join afterwards
+    val sh = docs
+      .select(col("doc_id"), array_distinct(shingleArr).as("sharr"))
+      .select(col("doc_id"), size(col("sharr")).cast("long").as("sz"),
+        explode(col("sharr")).as("shingle"))
+    // doc-frequency cap + (doc, size)-list collect + pair expansion fused
+    // into ONE aggregate: bounded_collect_long_pair evals to NULL for
+    // shingles above ShingleDocFreqCap — exactly the old heavy-set
+    // anti-join semantics (drop ultra-common shingles before pairing) with
+    // two fewer passes over `sh`, a cap+1-pairs-per-group memory/shuffle
+    // bound at ANY corpus size (the old shape shipped every row of every
+    // heavy shingle into the count), and the doc sizes carried through the
+    // aggregate instead of TWO corpus-sized sizes joins at the end
+    // (guide §2.3/§2.4, §8: move decisions onto small rows).
+    import graft.functions.boundedCollectFunctions.boundedCollectLongPair
+    val shared = sh.groupBy(col("shingle"))
+      .agg(boundedCollectLongPair(col("doc_id"), col("sz"),
+        ShingleDocFreqCap).as("ids"))
+      .where(col("ids").isNotNull)
+      .select(explode(col("ids")).as("a"), col("ids"))
+      .select(col("a.k").as("doc_a"), col("a.v").as("sz_a"),
+        explode(col("ids")).as("b"))
+      .where(col("doc_a") < col("b.k"))
+      .groupBy(col("doc_a"), col("b.k").as("doc_b"),
+        col("sz_a"), col("b.v").as("sz_b"))
       .agg(count(lit(1)).as("shared"))
     // integer outputs (shared / sizes / basis-point jaccard by integer
     // division) hash identically in any engine; the double is ORDER-only
     shared
-      .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sz_a")), Seq("doc_a"))
-      .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("sz_b")), Seq("doc_b"))
       .select(col("doc_a"), col("doc_b"), col("shared"),
         col("sz_a"), col("sz_b"),
         expr("(10000 * shared) DIV (sz_a + sz_b - shared)").as("jac_bp"),

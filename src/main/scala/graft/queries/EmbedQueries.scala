@@ -70,7 +70,7 @@ object EmbedQueries {
     * small query side broadcast against the full corpus.
     */
   def bruteTopK(spark: SparkSession, sfDir: String): DataFrame = {
-    val vecs = withNorm(load(spark, sfDir, "embeddings"))
+    val vecs = withNorm(loadSpread(spark, sfDir, "embeddings", "vec_id"))
     val queries = vecs.where(col("vec_id") < NumQueries)
     val joined = vecs.as("c").join(
       broadcast(queries.as("q")), col("q.vec_id") =!= col("c.vec_id"))
@@ -117,21 +117,19 @@ object EmbedQueries {
     * scale; the bucket join is therefore bounded at 100× — never corpus/256.
     */
   def lshTopK(spark: SparkSession, sfDir: String): DataFrame = {
-    val base = load(spark, sfDir, "embeddings").select(col("vec_id"), col("embedding"))
+    val base = loadSpread(spark, sfDir, "embeddings", "vec_id").select(col("vec_id"), col("embedding"))
     val n = corpusCount(spark, sfDir)
     val bits = lshBitsFor(n)
     val bands = bandSignatures(base, bits)
-    val okBuckets = bands.groupBy(col("band"), col("sig"))
-      .agg(count(lit(1)).as("bsz"))
-      .where(col("bsz") <= LshBucketCap && col("bsz") >= 2)
-      .select("band", "sig")
-    val inBuckets = bands.join(okBuckets, Seq("band", "sig"))
-    // (query, member) pairs per bucket via ONE groupBy (reuses the join's
-    // (band, sig) partitioning) + in-row expansion over the bucket's query
-    // subset — the old query-side self-join shuffled inBuckets twice more.
-    // collect_list is bounded by the LshBucketCap filter above (guide §2.4).
-    val candidates = inBuckets.groupBy("band", "sig")
-      .agg(collect_list(col("vec_id")).as("ids"))
+    // bucket collect + cap check + (query, member) expansion fused into ONE
+    // aggregate: bounded_collect_long evals to NULL for buckets over
+    // LshBucketCap (the old count-filter-join shape cost two extra stages;
+    // the bounded buffer caps memory and shuffle at cap+1 longs per bucket
+    // per map partition — guide §2.3/§2.4)
+    import graft.functions.boundedCollectFunctions.boundedCollectLong
+    val candidates = bands.groupBy("band", "sig")
+      .agg(boundedCollectLong(col("vec_id"), LshBucketCap).as("ids"))
+      .where(col("ids").isNotNull && size(col("ids")) >= 2)
       .select(filter(col("ids"), x => x < NumQueries).as("qids"), col("ids"))
       .select(explode(col("qids")).as("query_id"), col("ids"))
       .select(col("query_id"), explode(col("ids")).as("neighbor_id"))
@@ -195,7 +193,7 @@ object EmbedQueries {
     */
   def ivfTopK(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val base = load(spark, sfDir, "embeddings").select(col("vec_id"), col("embedding"))
+    val base = loadSpread(spark, sfDir, "embeddings", "vec_id").select(col("vec_id"), col("embedding"))
     val nTotal = corpusCount(spark, sfDir)
     val cells = ivfCellsFor(nTotal)
     val cellCap = 8L * ((nTotal + cells - 1) / cells)
@@ -289,18 +287,15 @@ object EmbedQueries {
     */
   private def candidatePairs(base: DataFrame, n: Long): DataFrame = {
     val bands = bandSignatures(base, lshBitsFor(n))
-    val okBuckets = bands.groupBy(col("band"), col("sig"))
-      .agg(count(lit(1)).as("bsz"))
-      .where(col("bsz") <= LshBucketCap && col("bsz") >= 2)
-      .select("band", "sig")
-    val inBuckets = bands.join(okBuckets, Seq("band", "sig"))
-    // pair generation: ONE groupBy per bucket (reuses the join's (band, sig)
-    // partitioning — no new exchange) + in-row pair expansion, instead of
-    // the old two-sided self-join that shuffled inBuckets twice more.
-    // collect_list is bounded by construction: every group passed the
-    // LshBucketCap filter above (guide §2.4).
-    inBuckets.groupBy("band", "sig")
-      .agg(collect_list(col("vec_id")).as("ids"))
+    // bucket collect + cap check + pair expansion fused into ONE aggregate:
+    // bounded_collect_long evals to NULL for buckets over LshBucketCap (the
+    // old count-filter-join two-phase shape cost two extra stages; the
+    // bounded buffer caps memory and shuffle at cap+1 longs per bucket per
+    // map partition — guide §2.3/§2.4)
+    import graft.functions.boundedCollectFunctions.boundedCollectLong
+    bands.groupBy("band", "sig")
+      .agg(boundedCollectLong(col("vec_id"), LshBucketCap).as("ids"))
+      .where(col("ids").isNotNull && size(col("ids")) >= 2)
       .select(explode(col("ids")).as("id_a"), col("ids"))
       .select(col("id_a"), explode(col("ids")).as("id_b"))
       .where(col("id_a") < col("id_b"))
@@ -339,7 +334,7 @@ object EmbedQueries {
       "committed without _SUCCESS — committer writes no success markers?")
     val h = pairGraphStore.computeIfAbsent(sfDir, _ => new GraphHolder(() => {
       val dir = Tables.scratchDir("graft-q-pairgraph")
-      val base = load(spark, sfDir, "embeddings").select(col("vec_id"), col("embedding"))
+      val base = loadSpread(spark, sfDir, "embeddings", "vec_id").select(col("vec_id"), col("embedding"))
       val n = corpusCount(spark, sfDir)
       val vecs = withNorm(base)
       candidatePairs(base, n)
@@ -457,7 +452,7 @@ object EmbedQueries {
     * visibility across all LshBands tables)
     */
   def lshBuckets(spark: SparkSession, sfDir: String): DataFrame = {
-    val base = load(spark, sfDir, "embeddings").select(col("vec_id"), col("embedding"))
+    val base = loadSpread(spark, sfDir, "embeddings", "vec_id").select(col("vec_id"), col("embedding"))
     val n = corpusCount(spark, sfDir)
     bandSignatures(base, lshBitsFor(n))
       .groupBy(col("band"), col("sig")).count()

@@ -57,7 +57,8 @@ object TextQueries {
     * is a broadcast-sized aggregate; scoring is a broadcast join.
     */
   def langId(spark: SparkSession, sfDir: String): DataFrame =
-    langIdImpl(load(spark, sfDir, "documents"))
+    // scale-adaptive spread: trigram extraction is the per-row-heavy leg
+    langIdImpl(loadSpread(spark, sfDir, "documents", "doc_id"))
 
   private def langIdImpl(docs: DataFrame): DataFrame = {
     // per-doc trigram COUNTS (one HashMap per doc inside the codegen'd

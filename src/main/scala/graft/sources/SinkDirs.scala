@@ -47,7 +47,13 @@ private[sources] object SinkDirs {
       try {
         fs.setWriteChecksum(false)
         fs.create(p, true)
-      } catch { case t: Throwable => fs.close(); throw t }
+      } catch {
+        case t: Throwable =>
+          // close must not REPLACE the original create/permission error —
+          // a throwing close is attached as suppressed instead
+          try fs.close() catch { case c: Throwable => t.addSuppressed(c) }
+          throw t
+      }
     new java.io.FilterOutputStream(raw) {
       // FilterOutputStream writes arrays byte-at-a-time — delegate bulk
       override def write(b: Array[Byte], off: Int, len: Int): Unit =
