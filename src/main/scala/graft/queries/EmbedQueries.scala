@@ -197,8 +197,12 @@ object EmbedQueries {
     val nTotal = corpusCount(spark, sfDir)
     val cells = ivfCellsFor(nTotal)
     val cellCap = 8L * ((nTotal + cells - 1) / cells)
-    // anchors: O(sqrt n) — driver-side metadata, like the skew plan
-    val anchors: Array[(Int, Array[Double], Double)] = base
+    // anchors: O(sqrt n) — driver-side metadata, like the skew plan.
+    // Collected from the PLAIN load, not the spread `base`: a bounded
+    // driver collect gains nothing from executor parallelism and would
+    // otherwise pay the spread exchange as its own extra job.
+    val anchors: Array[(Int, Array[Double], Double)] = load(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
       .where(col("vec_id") < cells)
       .as[(Long, Seq[Float])].collect().sortBy(_._1)
       .map { case (id, emb) =>
@@ -416,25 +420,34 @@ object EmbedQueries {
     var prevSum = labelSum(labels)
     var converged = prevSum == null // empty graph: nothing to propagate
     var iter = 0
+    // one propagation step: join + min-aggregate. The repartition to
+    // `parts` BEFORE the aggregate matters: groupBy alone would land on
+    // spark.sql.shuffle.partitions, and the next step's join against
+    // `edges` (partitioned to `parts` by src) would then have to
+    // re-exchange BOTH sides every step. HashPartitioning(v, parts)
+    // satisfies the aggregate's distribution (no extra exchange) and
+    // matches the join's layout — one exchange per step instead of three
+    // (guide §2.4).
+    def step(labels: DataFrame): DataFrame = {
+      val prop = edges.join(labels, col("src") === col("v"))
+        .select(col("dst").as("v"), col("lbl"))
+      labels.select(col("v"), col("lbl")).union(prop)
+        .repartition(parts, col("v"))
+        .groupBy("v").agg(min(col("lbl")).as("lbl"))
+    }
     while (!converged) {
       iter += 1
       // diameter bound: min-label propagation converges in O(diameter)
-      // rounds; 64 rounds of shrinking labels means a pathological graph,
-      // not slow convergence — fail loudly rather than loop
+      // rounds; 64 doubled rounds of shrinking labels means a pathological
+      // graph, not slow convergence — fail loudly rather than loop
       require(iter <= 64, "near-dup label propagation did not converge")
-      val prop = edges.join(labels, col("src") === col("v"))
-        .select(col("dst").as("v"), col("lbl"))
-      // repartition to `parts` BEFORE the aggregate: groupBy alone would
-      // land on spark.sql.shuffle.partitions, and the next round's join
-      // against `edges` (partitioned to `parts` by src) would then have to
-      // re-exchange BOTH sides every round. HashPartitioning(v, parts)
-      // satisfies the aggregate's distribution (no extra exchange) and
-      // matches the join's layout — one exchange per round instead of three
-      // (guide §2.4).
-      val next = labels.select(col("v"), col("lbl")).union(prop)
-        .repartition(parts, col("v"))
-        .groupBy("v").agg(min(col("lbl")).as("lbl"))
-        .localCheckpoint(eager = false)
+      // TWO propagation steps per Spark job (one lazy localCheckpoint +
+      // one labelSum action cover both): halves the per-round driver/job
+      // overhead; the fixpoint test is unchanged because the label sum is
+      // strictly monotone decreasing — it is unchanged after a double step
+      // iff it is unchanged after each step — at the cost of at most one
+      // redundant propagation over already-final labels
+      val next = step(step(labels)).localCheckpoint(eager = false)
       val s = labelSum(next)
       converged = s == prevSum
       prevSum = s
