@@ -276,6 +276,11 @@ object CoreQueries {
     val q = spark.readStream.format("graft").load(s"$dir/src")
       .writeStream.format("graft")
       .option("sortKeys", "lang,source,doc_id_s")
+      // mirror the source store's declared partitioning: without the
+      // option the sink's RequiresDistributionAndOrdering falls back to
+      // spark.sql.shuffle.partitions and re-fans the 4-partition table
+      // into 32 near-empty files per epoch
+      .option("numPartitions", "4")
       .option("checkpointLocation", s"$dir/ckpt")
       .outputMode("append")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
