@@ -136,10 +136,17 @@ object DedupQueries {
     // explode+distinct+groupBy shape shuffled every (doc, shingle) string
     // pair twice); sz rides along each shingle row so the pair expansion
     // below carries it — no sizes join afterwards
+    // explode_outer, NOT explode: InferFiltersFromGenerate synthesizes a
+    // size(sharr)>0 filter for a plain explode and pushes it below the
+    // spread exchange — re-evaluating the whole shingling expression on
+    // the pre-spread (single-task) side. Outer generate infers no filter;
+    // the explicit isNotNull above the generate keeps the row set
+    // identical (sharr always has >= 1 element by construction).
     val sh = docs
       .select(col("doc_id"), array_distinct(shingleArr).as("sharr"))
       .select(col("doc_id"), size(col("sharr")).cast("long").as("sz"),
-        explode(col("sharr")).as("shingle"))
+        explode_outer(col("sharr")).as("shingle"))
+      .where(col("shingle").isNotNull)
     // doc-frequency cap + (doc, size)-list collect + pair expansion fused
     // into ONE aggregate: bounded_collect_long_pair evals to NULL for
     // shingles above ShingleDocFreqCap — exactly the old heavy-set

@@ -106,10 +106,17 @@ object EmbedQueries {
     * ser/de round-trip (Seq[Float] boxing) per vector.
     */
   private def bandSignatures(df: DataFrame, bits: Int): DataFrame =
+    // posexplode_outer, NOT posexplode: InferFiltersFromGenerate would
+    // synthesize a size(bandsigs64(embedding))>0 filter and push it below
+    // the spread exchange, re-running the signature dot products on the
+    // pre-spread single-task side. Outer generate infers no filter; the
+    // explicit isNotNull keeps the row set identical (the signature array
+    // always has LshBands elements).
     df.select(col("vec_id"),
-      posexplode(graft.functions.embedFunctions.bandSigs64(
+      posexplode_outer(graft.functions.embedFunctions.bandSigs64(
         col("embedding"), LshBands, bits)))
       .toDF("vec_id", "band", "sig")
+      .where(col("sig").isNotNull)
 
   /** Multi-band LSH ANN: candidates = union over bands of same-bucket
     * pairs (bucket-capped), then exact cosine re-rank. Bits per band scale

@@ -68,9 +68,16 @@ object TextQueries {
     // paid an encoder ser/de round-trip per output row). Extraction is
     // CODEPOINT-windowed exactly like before: the oracle slices
     // `text[i:i+2]` by codepoint.
+    // explode_outer, NOT explode: InferFiltersFromGenerate would
+    // synthesize a size(trigram_counts(text))>0 filter and push it below
+    // the spread exchange, re-running the trigram extraction on the
+    // pre-spread single-task side. Outer generate infers no filter; the
+    // explicit isNotNull above the generate drops exactly the rows plain
+    // explode dropped (docs under 3 codepoints emit one null tc row).
     val tri = docs
       .select(col("lang"), col("doc_id"),
-        explode(graft.functions.textFunctions.trigramCounts(col("text"))).as("tc"))
+        explode_outer(graft.functions.textFunctions.trigramCounts(col("text"))).as("tc"))
+      .where(col("tc").isNotNull)
       .select(col("lang"), col("doc_id"),
         col("tc.tri").as("tri"), col("tc.cnt").as("cnt"))
       // consumed twice (profile build + scoring join): cache so the per-doc
