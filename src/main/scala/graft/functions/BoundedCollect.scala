@@ -198,6 +198,116 @@ case class BoundedCollectLongPair(
   override def prettyName: String = "bounded_collect_long_pair"
 }
 
+/** bounded_topk_by_count((cnt, key), k): the group's top-k (cnt, key)
+  * pairs under ORDER BY cnt DESC, key ASC — the profile-build shape of the
+  * lang-id query, as an aggregate instead of a row_number window. Exactly
+  * the window's rnk <= k row set; the buffer holds at most 2k entries
+  * before re-truncating, so partial (map-side) aggregation ships <= k rows
+  * per group per map partition where the window shipped EVERY row into its
+  * sort (guide §2.3: aggregate before you shuffle).
+  */
+case class BoundedTopKByCount(
+    cnt: Expression,
+    key: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[scala.collection.mutable.ArrayBuffer[(Long, String)]] {
+
+  require(k >= 1, s"bounded_topk_by_count needs k >= 1, got $k")
+
+  override def children: Seq[Expression] = Seq(cnt, key)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): BoundedTopKByCount =
+    copy(cnt = newChildren(0), key = newChildren(1))
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (cnt.dataType == LongType &&
+        key.dataType == org.apache.spark.sql.types.StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"bounded_topk_by_count needs (bigint, string), got " +
+        s"(${cnt.dataType.catalogString}, ${key.dataType.catalogString})")
+
+  override def dataType: DataType = ArrayType(
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("c", LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("tri",
+        org.apache.spark.sql.types.StringType, nullable = false))),
+    containsNull = false)
+  override def nullable: Boolean = false
+
+  // (cnt desc, key asc) total order — the window's exact ordering
+  private def lt(a: (Long, String), b: (Long, String)): Boolean =
+    a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)
+
+  private def truncate(
+      buf: scala.collection.mutable.ArrayBuffer[(Long, String)]): scala.collection.mutable.ArrayBuffer[(Long, String)] =
+    if (buf.length <= k) buf
+    else {
+      val kept = buf.sortWith(lt).take(k)
+      buf.clear()
+      buf ++= kept
+    }
+
+  override def createAggregationBuffer(): scala.collection.mutable.ArrayBuffer[(Long, String)] =
+    scala.collection.mutable.ArrayBuffer.empty
+
+  override def update(
+      buffer: scala.collection.mutable.ArrayBuffer[(Long, String)],
+      input: InternalRow): scala.collection.mutable.ArrayBuffer[(Long, String)] = {
+    val c = cnt.eval(input)
+    val s = key.eval(input)
+    if (c != null && s != null) {
+      buffer += ((c.asInstanceOf[Long], s.toString))
+      if (buffer.length >= 2 * k) truncate(buffer)
+    }
+    buffer
+  }
+
+  override def merge(
+      buffer: scala.collection.mutable.ArrayBuffer[(Long, String)],
+      other: scala.collection.mutable.ArrayBuffer[(Long, String)]): scala.collection.mutable.ArrayBuffer[(Long, String)] = {
+    buffer ++= other
+    truncate(buffer)
+  }
+
+  override def eval(
+      buffer: scala.collection.mutable.ArrayBuffer[(Long, String)]): Any = {
+    val top = buffer.sortWith(lt).take(k)
+    new GenericArrayData(top.map { case (c, s) =>
+      InternalRow(c, org.apache.spark.unsafe.types.UTF8String.fromString(s)): Any
+    }.toArray)
+  }
+
+  override def serialize(
+      buffer: scala.collection.mutable.ArrayBuffer[(Long, String)]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val out = new java.io.DataOutputStream(bos)
+    out.writeInt(buffer.length)
+    buffer.foreach { case (c, s) => out.writeLong(c); out.writeUTF(s) }
+    out.flush()
+    bos.toByteArray
+  }
+
+  override def deserialize(
+      bytes: Array[Byte]): scala.collection.mutable.ArrayBuffer[(Long, String)] = {
+    val in = new java.io.DataInputStream(new java.io.ByteArrayInputStream(bytes))
+    val n = in.readInt()
+    val out = new scala.collection.mutable.ArrayBuffer[(Long, String)](n)
+    var i = 0
+    while (i < n) { out += ((in.readLong(), in.readUTF())); i += 1 }
+    out
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): BoundedTopKByCount =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): BoundedTopKByCount =
+    copy(inputAggBufferOffset = newOffset)
+
+  override def prettyName: String = "bounded_topk_by_count"
+}
+
 object boundedCollectFunctions {
   def boundedCollectLong(c: Column, cap: Int): Column =
     org.apache.spark.sql.GraftBridge.column(
@@ -208,5 +318,11 @@ object boundedCollectFunctions {
       BoundedCollectLongPair(
         org.apache.spark.sql.GraftBridge.expression(k),
         org.apache.spark.sql.GraftBridge.expression(v), cap)
+        .toAggregateExpression())
+  def boundedTopKByCount(cnt: Column, key: Column, k: Int): Column =
+    org.apache.spark.sql.GraftBridge.column(
+      BoundedTopKByCount(
+        org.apache.spark.sql.GraftBridge.expression(cnt),
+        org.apache.spark.sql.GraftBridge.expression(key), k)
         .toAggregateExpression())
 }

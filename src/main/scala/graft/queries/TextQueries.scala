@@ -90,15 +90,21 @@ object TextQueries {
     // ordering (c desc, tri) is total, so each global top-50 trigram ranks
     // <=50 inside its own shard. Phase 2 merges at most shards*50 rows per
     // lang — bounded regardless of corpus size.
+    // Phase 1 is a bounded top-k AGGREGATE (bounded_topk_by_count), not a
+    // row_number window: the same rnk<=50 row set under the identical
+    // (c desc, tri) order, but with map-side partial top-k — the shuffle
+    // carries <=~2x50 rows per (lang, shard) per map partition instead of
+    // EVERY distinct trigram row into a sort (guide §2.3).
     val profileShards = 64
     val triCounts = tri.groupBy("lang", "tri").agg(sum(col("cnt")).as("c"))
     val partialTop = triCounts
       .withColumn("shard", pmod(hash(col("tri")), lit(profileShards)))
-      .withColumn("rnk", row_number().over(
-        org.apache.spark.sql.expressions.Window.partitionBy("lang", "shard")
-          .orderBy(col("c").desc, col("tri"))))
-      .where(col("rnk") <= 50)
-      .drop("rnk", "shard")
+      .groupBy("lang", "shard")
+      .agg(graft.functions.boundedCollectFunctions
+        .boundedTopKByCount(col("c"), col("tri"), 50).as("top"))
+      .select(col("lang"), explode_outer(col("top")).as("t"))
+      .where(col("t").isNotNull)
+      .select(col("lang"), col("t.tri").as("tri"), col("t.c").as("c"))
     val profiles = partialTop
       .withColumn("rnk", row_number().over(
         org.apache.spark.sql.expressions.Window.partitionBy("lang")

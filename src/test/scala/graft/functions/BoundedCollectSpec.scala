@@ -66,6 +66,33 @@ class BoundedCollectSpec extends AnyFunSuite {
     }
   }
 
+  test("bounded top-k matches the row_number window it replaced") {
+    import boundedCollectFunctions.boundedTopKByCount
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val k = 5
+    // duplicate counts force the tie-break path (c desc, key asc)
+    val rows = Seq.fill(3000)((rnd.nextInt(6).toLong,
+      rnd.nextInt(40).toLong + 1, "t" + rnd.nextInt(400)))
+      .distinct.map { case (g, c, t) => (g, c, t) }
+    val df = rows.toDF("g", "c", "t")
+      .groupBy("g", "t").agg(max(col("c")).as("c")) // unique (g, t)
+      .repartition(8, col("t")).cache()
+    val viaAgg = df.groupBy("g")
+      .agg(boundedTopKByCount(col("c"), col("t"), k).as("top"))
+      .select(col("g"), explode(col("top")).as("e"))
+      .select(col("g"), col("e.c"), col("e.tri"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    val viaWindow = df.withColumn("rnk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("g")
+          .orderBy(col("c").desc, col("t"))))
+      .where(col("rnk") <= k)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getString(1))).toSet
+    assert(viaAgg == viaWindow)
+    df.unpersist()
+    ()
+  }
+
   test("matches the two-phase count+filter+collect on random data") {
     import spark.implicits._
     val rnd = new scala.util.Random(42)
