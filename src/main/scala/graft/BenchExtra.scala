@@ -73,7 +73,11 @@ object BenchExtra {
     }
     names.foreach { n =>
       val reps = times(n).reverse
-      println(f"[bx] $n%-24s min ${reps.min}%8.3f s  (reps ${reps.map(s => f"$s%.3f").mkString(", ")})")
+      // failed reps (-1 sentinel) are excluded from the min — folding a
+      // negative time in would mask the valid measurements
+      val ok = reps.filter(_ >= 0)
+      val minStr = if (ok.isEmpty) "   FAILED" else f"${ok.min}%8.3f"
+      println(f"[bx] $n%-24s min $minStr s  (reps ${reps.map(s => f"$s%.3f").mkString(", ")})")
     }
     spark.stop()
   }

@@ -79,6 +79,19 @@ object Decoder {
           if (!rows.hasNext) null
           else {
             val r = rows.next()
+            // loud on null metadata: the old typed deserializer threw on a
+            // null primitive field; positional getInt/getLong on a null
+            // slot would silently read 0 and mis-group the block instead
+            var c = 0
+            while (c <= 7) {
+              if (c != 8 && c != 9 && r.isNullAt(c))
+                throw new IllegalStateException(
+                  s"corrupt block row: null metadata field #$c")
+              c += 1
+            }
+            if (r.isNullAt(10))
+              throw new IllegalStateException(
+                "corrupt block row: null data payload")
             EncodedBlock(
               r.getUTF8String(0).toString, r.getInt(1), r.getInt(2),
               r.getByte(3), r.getByte(4), r.getInt(5), r.getLong(6),

@@ -54,10 +54,13 @@ case class BoundedCollectLong(
       input: InternalRow): scala.collection.mutable.ArrayBuffer[Long] = {
     // grow to at most cap+1: the (cap+1)-th element is the over-cap proof;
     // further rows change nothing (the group is already condemned)
-    if (buffer.length <= cap) {
-      val v = child.eval(input)
-      if (v != null) buffer += v.asInstanceOf[Long]
-    }
+    val v = child.eval(input)
+    // the dedup/LSH keys are non-null by construction; a null here would
+    // silently skew the cap accounting vs the count-based shape this
+    // aggregate replaced — refuse loudly rather than diverge
+    if (v == null)
+      throw new IllegalStateException("bounded_collect_long: null input value")
+    if (buffer.length <= cap) buffer += v.asInstanceOf[Long]
     buffer
   }
 
@@ -140,13 +143,14 @@ case class BoundedCollectLongPair(
   override def update(
       buffer: scala.collection.mutable.ArrayBuffer[Long],
       input: InternalRow): scala.collection.mutable.ArrayBuffer[Long] = {
+    val k = key.eval(input)
+    val v = value.eval(input)
+    // same loud-null contract as BoundedCollectLong
+    if (k == null || v == null)
+      throw new IllegalStateException("bounded_collect_long_pair: null input value")
     if (buffer.length <= 2 * cap) {
-      val k = key.eval(input)
-      val v = value.eval(input)
-      if (k != null && v != null) {
-        buffer += k.asInstanceOf[Long]
-        buffer += v.asInstanceOf[Long]
-      }
+      buffer += k.asInstanceOf[Long]
+      buffer += v.asInstanceOf[Long]
     }
     buffer
   }
@@ -212,7 +216,10 @@ case class BoundedTopKByCount(
     k: Int,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-    extends TypedImperativeAggregate[scala.collection.mutable.ArrayBuffer[(Long, String)]] {
+    extends TypedImperativeAggregate[scala.collection.mutable.ArrayBuffer[(Long, org.apache.spark.unsafe.types.UTF8String)]] {
+
+  import org.apache.spark.unsafe.types.UTF8String
+  private type Buf = scala.collection.mutable.ArrayBuffer[(Long, UTF8String)]
 
   require(k >= 1, s"bounded_topk_by_count needs k >= 1, got $k")
 
@@ -237,12 +244,14 @@ case class BoundedTopKByCount(
     containsNull = false)
   override def nullable: Boolean = false
 
-  // (cnt desc, key asc) total order — the window's exact ordering
-  private def lt(a: (Long, String), b: (Long, String)): Boolean =
-    a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)
+  // (cnt desc, key asc) total order — the window's EXACT ordering: keys
+  // compare as UTF8String (binary/UTF-8), not java.lang.String (UTF-16) —
+  // the two disagree on supplementary vs U+E000..U+FFFF characters, the
+  // repo's documented codepoint-divergence class
+  private def lt(a: (Long, UTF8String), b: (Long, UTF8String)): Boolean =
+    a._1 > b._1 || (a._1 == b._1 && a._2.compareTo(b._2) < 0)
 
-  private def truncate(
-      buf: scala.collection.mutable.ArrayBuffer[(Long, String)]): scala.collection.mutable.ArrayBuffer[(Long, String)] =
+  private def truncate(buf: Buf): Buf =
     if (buf.length <= k) buf
     else {
       val kept = buf.sortWith(lt).take(k)
@@ -250,53 +259,57 @@ case class BoundedTopKByCount(
       buf ++= kept
     }
 
-  override def createAggregationBuffer(): scala.collection.mutable.ArrayBuffer[(Long, String)] =
+  override def createAggregationBuffer(): Buf =
     scala.collection.mutable.ArrayBuffer.empty
 
-  override def update(
-      buffer: scala.collection.mutable.ArrayBuffer[(Long, String)],
-      input: InternalRow): scala.collection.mutable.ArrayBuffer[(Long, String)] = {
+  override def update(buffer: Buf, input: InternalRow): Buf = {
     val c = cnt.eval(input)
     val s = key.eval(input)
     if (c != null && s != null) {
-      buffer += ((c.asInstanceOf[Long], s.toString))
+      // clone: the evaluated UTF8String may view a reused row buffer
+      buffer += ((c.asInstanceOf[Long], s.asInstanceOf[UTF8String].clone()))
       if (buffer.length >= 2 * k) truncate(buffer)
     }
     buffer
   }
 
-  override def merge(
-      buffer: scala.collection.mutable.ArrayBuffer[(Long, String)],
-      other: scala.collection.mutable.ArrayBuffer[(Long, String)]): scala.collection.mutable.ArrayBuffer[(Long, String)] = {
+  override def merge(buffer: Buf, other: Buf): Buf = {
     buffer ++= other
     truncate(buffer)
   }
 
-  override def eval(
-      buffer: scala.collection.mutable.ArrayBuffer[(Long, String)]): Any = {
+  override def eval(buffer: Buf): Any = {
     val top = buffer.sortWith(lt).take(k)
-    new GenericArrayData(top.map { case (c, s) =>
-      InternalRow(c, org.apache.spark.unsafe.types.UTF8String.fromString(s)): Any
-    }.toArray)
+    new GenericArrayData(top.map { case (c, s) => InternalRow(c, s): Any }.toArray)
   }
 
-  override def serialize(
-      buffer: scala.collection.mutable.ArrayBuffer[(Long, String)]): Array[Byte] = {
+  override def serialize(buffer: Buf): Array[Byte] = {
     val bos = new java.io.ByteArrayOutputStream()
     val out = new java.io.DataOutputStream(bos)
     out.writeInt(buffer.length)
-    buffer.foreach { case (c, s) => out.writeLong(c); out.writeUTF(s) }
+    buffer.foreach { case (c, s) =>
+      out.writeLong(c)
+      val b = s.getBytes
+      out.writeInt(b.length)
+      out.write(b)
+    }
     out.flush()
     bos.toByteArray
   }
 
-  override def deserialize(
-      bytes: Array[Byte]): scala.collection.mutable.ArrayBuffer[(Long, String)] = {
+  override def deserialize(bytes: Array[Byte]): Buf = {
     val in = new java.io.DataInputStream(new java.io.ByteArrayInputStream(bytes))
     val n = in.readInt()
-    val out = new scala.collection.mutable.ArrayBuffer[(Long, String)](n)
+    val out = new scala.collection.mutable.ArrayBuffer[(Long, UTF8String)](n)
     var i = 0
-    while (i < n) { out += ((in.readLong(), in.readUTF())); i += 1 }
+    while (i < n) {
+      val c = in.readLong()
+      val len = in.readInt()
+      val b = new Array[Byte](len)
+      in.readFully(b)
+      out += ((c, UTF8String.fromBytes(b)))
+      i += 1
+    }
     out
   }
 
