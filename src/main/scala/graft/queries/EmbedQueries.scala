@@ -200,7 +200,12 @@ object EmbedQueries {
     */
   def ivfTopK(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val base = loadSpread(spark, sfDir, "embeddings", "vec_id").select(col("vec_id"), col("embedding"))
+    // plain load, no spread: the assignment pass is ~cells×dim flops/row —
+    // light enough at driver scale that the spread exchange cost more than
+    // the parallelism bought (measured 0.55 s unspread vs 0.75–0.95 s
+    // spread); at 100 TB the spread would be a no-op anyway (enough scan
+    // splits), so this changes nothing at scale
+    val base = load(spark, sfDir, "embeddings").select(col("vec_id"), col("embedding"))
     val nTotal = corpusCount(spark, sfDir)
     val cells = ivfCellsFor(nTotal)
     val cellCap = 8L * ((nTotal + cells - 1) / cells)
